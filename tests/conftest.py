@@ -1,0 +1,42 @@
+"""Test configuration: force CPU backend with 8 virtual devices and float64.
+
+Parity tests against the float64 reference require x64; multi-chip sharding
+tests use the virtual CPU mesh (the driver separately dry-runs the multichip
+path the same way).  Must run before jax is imported anywhere.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # hard override (env may pin a TPU backend)
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_ENABLE_X64"] = "1"
+
+import jax  # noqa: E402
+
+# The axon sitecustomize pins jax_platforms="axon,cpu" via config.update,
+# which beats the env var -- override it back so tests run on the virtual
+# CPU mesh regardless of the TPU tunnel.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+FIXDIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+
+
+@pytest.fixture(scope="session")
+def fixtures_dir():
+    return FIXDIR
+
+
+def load_fixture(name):
+    path = os.path.join(FIXDIR, name)
+    if not os.path.exists(path):
+        pytest.skip(f"fixture {name} not generated (run tests/fixtures/generate_fixtures.py)")
+    return np.load(path, allow_pickle=False)
