@@ -1,0 +1,260 @@
+"""Fused device likelihood: correction sweep -> JSFS spectrum -> multinomial llh.
+
+The reference evaluates one likelihood with two sequential Python loops over
+time intervals (MigrationInference.py:305-378 `CorrectLambdas` and :467-506
+`JAFSpectrum`), rebuilding dense rate matrices in pure Python per interval.
+Here both sweeps are `lax.scan`s over precomputed static per-interval inputs,
+each step doing a handful of small batched matmuls (the augmented expm), so
+the whole evaluation jits into one XLA program that can be vmapped over
+optimiser candidates and sharded over bootstrap replicates.
+
+Failure semantics follow the reference: negative parameters or a failed
+lambda correction (any corrected rate <= 0 pre-split) yield -inf
+(MigrationInference.py:566-578) via a validity mask instead of early returns.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..kernels import correction as kc
+from ..kernels.expm import expm_and_integral
+from ..model import statespace as ss
+from .spec import ModelSpec
+
+
+def _pulse_update_3state(p0, rate, pop: int):
+    """Closed-form pulse update of the (2,3) correction state
+    (MigrationInference.py:315-323).  Identity at rate == 0."""
+    p = pop
+    q = 1 - pop
+    col = lambda c: p0[:, c]
+    new_p = col(p) * (1.0 - rate) ** 2
+    new_q = col(p) * rate**2 + col(q) + col(2) * rate
+    new_2 = col(p) * 2.0 * (1.0 - rate) * rate + col(2) * (1.0 - rate)
+    cols = [None, None, None]
+    cols[p], cols[q], cols[2] = new_p, new_q, new_2
+    return jnp.stack(cols, axis=1)
+
+
+@dataclasses.dataclass
+class Likelihood:
+    """Compiled likelihood functions for one ModelSpec."""
+
+    spec: ModelSpec
+    llh: Callable  # params (n,) -> scalar llh (-inf on failure)
+    llh_aux: Callable  # params -> (llh, dict(jafs, lc, pr, valid))
+    llh_batch: Callable  # params (B, n) -> (B,) llh
+
+
+def build_likelihood(spec: ModelSpec) -> Likelihood:
+    b2 = ss.two_pop_basis()
+    b1 = ss.one_pop_basis()
+    s = spec.splitT
+    numT = spec.numT
+    sd = spec.sample_date
+
+    # static per-interval inputs
+    times = np.asarray(spec.times, dtype=float)  # (numT-1,)
+    lh = np.asarray(spec.lh, dtype=float)  # (numT, 2)
+    pre_T = times[:s]
+    post_T = times[s : numT - 1]
+    # category mask: genome-2 categories are zeroed before the ancient sample
+    # exists (MigrationInference.py:503-505)
+    catmask = np.ones((s, 7))
+    catmask[:sd, 2:] = 0.0
+    is_sample = np.zeros(s, dtype=bool)
+    if sd < s:
+        is_sample[sd] = True
+
+    mi_any = spec.mi_masks.sum(0) if len(spec.opt_mi) else np.zeros((numT, 2))
+    pu_any = spec.pu_masks.sum(0) if len(spec.opt_pu) else np.zeros((numT, 2))
+    n_mi = len(spec.opt_mi)
+    n_pu = len(spec.opt_pu)
+    n_par = n_mi + n_pu
+
+    def map_params(params):
+        """MapParameters (MigrationInference.py:291-298): overwrite the
+        optimised regions of the fixed-rate tables with the parameters."""
+        mi = jnp.asarray(spec.mi_base)
+        pu = jnp.asarray(spec.pu_base)
+        if n_mi:
+            mi = mi * (1.0 - jnp.asarray(mi_any)) + jnp.einsum(
+                "k,ktc->tc", params[:n_mi], jnp.asarray(spec.mi_masks)
+            )
+        if n_pu:
+            pu = pu * (1.0 - jnp.asarray(pu_any)) + jnp.einsum(
+                "k,ktc->tc", params[n_mi:], jnp.asarray(spec.pu_masks)
+            )
+        return mi, pu
+
+    # -- correction sweep (CorrectLambdas, MigrationInference.py:305-378) ----
+
+    def correct_sweep(mi, pu):
+        p0 = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+
+        def body(p0, inp):
+            lh_t, T_t, mi_t, pu_t = inp
+            p0 = _pulse_update_3state(p0, pu_t[0], 0)
+            p0 = _pulse_update_3state(p0, pu_t[1], 1)
+            if spec.correct:
+                lc_t, p_next = kc.solve_lambda_system(
+                    lh_t, T_t, mi_t, p0, spec.cpfit, spec.mixture_th
+                )
+            else:  # trueEPS: rates pass through, state evolves only by pulses
+                lc_t = lh_t
+                p_next = p0
+            return p_next, (lc_t, p_next.T)  # Pr entry is (3, 2): [loc][genome]
+
+        (p_fin), (lc_pre, pr_tail) = jax.lax.scan(
+            body,
+            p0,
+            (
+                jnp.asarray(lh[:s]),
+                jnp.asarray(pre_T),
+                mi[:s],
+                pu[:s],
+            ),
+        )
+        pr = jnp.concatenate([p0.T[None], pr_tail], axis=0)  # (s+1, 3, 2)
+        nc = p_fin.sum(axis=1)  # reference nc = sum(p0[k]) after the sweep
+        valid = jnp.all(lc_pre > 0) if (spec.correct and s > 0) else jnp.asarray(True)
+
+        # post-split sweep (:355-370): carry nc, emit lc
+        def post_body(nc, inp):
+            lh_t, T_t = inp
+            if spec.cpfit:
+                pnc = (
+                    jnp.exp(-T_t * lh_t[0])
+                    + jnp.exp(nc[1] - nc[0] - T_t * lh_t[1])
+                ) / (1.0 + jnp.exp(nc[1] - nc[0]))
+                lam = -jnp.log(pnc) / jnp.where(T_t == 0, 1.0, T_t)
+            else:
+                w = jnp.stack([jnp.exp(nc[0]), jnp.exp(nc[1])])
+                lam = kc.fit_single_pop(lh_t, jnp.where(T_t == 0, 1.0, T_t), w)
+            lam = jnp.where(T_t == 0, 1.0, lam)  # reference :357-359
+            lc_t = jnp.stack([lam, lam])
+            nc = nc - T_t * lc_t
+            return nc, lc_t
+
+        nc_fin, lc_post = jax.lax.scan(
+            post_body, nc, (jnp.asarray(lh[s : numT - 1]), jnp.asarray(post_T))
+        )
+
+        # last (infinite) interval: weighted harmonic mean (:371-376)
+        pr0 = jnp.exp(nc_fin[0])
+        pr1 = jnp.exp(nc_fin[1])
+        lam_last = (pr0 + pr1) / (pr0 / lh[numT - 1, 0] + pr1 / lh[numT - 1, 1])
+        lc_last = jnp.stack([lam_last, lam_last])[None]
+
+        if spec.smooth and s > 0:
+            w = jnp.asarray(spec.smooth_w)  # (2, s, s)
+            lc_pre = jnp.stack(
+                [w[0] @ lc_pre[:, 0], w[1] @ lc_pre[:, 1]], axis=1
+            )
+
+        lc = jnp.concatenate([lc_pre, lc_post, lc_last], axis=0)  # (numT, 2)
+        return lc, pr, valid
+
+    # -- spectrum sweep (JAFSpectrum, MigrationInference.py:467-506) ---------
+
+    ancient = jnp.asarray(b2.ancient)
+    collapse = jnp.asarray(b2.collapse)
+    jsfs2 = jnp.asarray(b2.jsfs)  # (44, 7)
+    jsfs1 = jnp.asarray(b1.jsfs)  # (8, 7)
+
+    def spectrum(lc, mi, pu):
+        p0 = jnp.zeros(44, dtype=lc.dtype).at[2].set(1.0)
+
+        def pre_body(p0, inp):
+            lc_t, T_t, mi_t, pu_t, is_s, cmask = inp
+            p0 = jnp.where(is_s, ancient @ p0, p0)
+            p0 = ss.pulse_operator(pu_t[0], 0, b2) @ p0
+            p0 = ss.pulse_operator(pu_t[1], 1, b2) @ p0
+            m = ss.two_pop_matrix(lc_t[0], lc_t[1], mi_t[0], mi_t[1], b2)
+            e, n1 = expm_and_integral(m, T_t)
+            jafs_t = cmask * ((n1 @ p0) @ jsfs2)
+            return e @ p0, jafs_t
+
+        p0, jafs_pre = jax.lax.scan(
+            pre_body,
+            p0,
+            (
+                lc[:s],
+                jnp.asarray(pre_T),
+                mi[:s],
+                pu[:s],
+                jnp.asarray(is_sample),
+                jnp.asarray(catmask),
+            ),
+        )
+
+        # ancient rebase exactly at the split (sampleDate == splitT) happens
+        # before the collapse (reference :480-494 ordering)
+        if sd == s:
+            p0 = ancient @ p0
+        p0 = collapse @ p0  # (8,)
+
+        def post_body(p0, inp):
+            lc_t, T_t = inp
+            m = ss.one_pop_matrix(lc_t[0], b1)
+            e, n1 = expm_and_integral(m, T_t)
+            return e @ p0, (n1 @ p0) @ jsfs1
+
+        p0, jafs_post = jax.lax.scan(
+            post_body, p0, (lc[s : numT - 1], jnp.asarray(post_T))
+        )
+
+        # last interval, T = infinity: occupancy = -M^{-1} P0 (:530-540)
+        m_last = ss.one_pop_matrix(lc[numT - 1, 0], b1)
+        occ_last = jnp.linalg.solve(m_last, -p0)
+        jafs_last = occ_last @ jsfs1
+
+        return jafs_pre.sum(0) + jafs_post.sum(0) + jafs_last
+
+    # -- full likelihood -----------------------------------------------------
+
+    data = jnp.asarray(spec.data_jafs)
+
+    def llh_aux(params):
+        params = jnp.asarray(params, jnp.result_type(float)).reshape(n_par)
+        nonneg = jnp.all(params >= 0) if n_par else jnp.asarray(True)
+        mi, pu = map_params(params)
+        lc, pr, valid_corr = correct_sweep(mi, pu)
+        jafs_raw = spectrum(lc, mi, pu)
+        norm = jafs_raw.sum()
+        jafs = jafs_raw / norm
+        if spec.unfolded:
+            cats = jafs
+            dat = data
+        else:
+            # folded pairing (0,6) (1,5) (2,4) 3 (:600-605)
+            cats = jnp.stack(
+                [jafs[0] + jafs[6], jafs[1] + jafs[5], jafs[2] + jafs[4], jafs[3]]
+            )
+            dat = jnp.stack(
+                [data[0] + data[6], data[1] + data[5], data[2] + data[4], data[3]]
+            )
+        pos = jnp.all(cats > 0) & jnp.isfinite(norm) & (norm > 0)
+        safe = jnp.where(cats > 0, cats, 1.0)
+        llh = spec.llh_const + jnp.sum(dat * jnp.log(safe))
+        valid = nonneg & valid_corr & pos
+        llh = jnp.where(valid, llh, -jnp.inf)
+        return llh, {"jafs": jafs, "lc": lc, "pr": pr, "valid": valid,
+                     "mi": mi, "pu": pu}
+
+    def llh_only(params):
+        return llh_aux(params)[0]
+
+    return Likelihood(
+        spec=spec,
+        llh=jax.jit(llh_only),
+        llh_aux=jax.jit(llh_aux),
+        llh_batch=jax.jit(jax.vmap(llh_only)),
+    )

@@ -1,0 +1,286 @@
+"""Per-interval EPS ("lambda") correction as fixed-iteration device solvers.
+
+Re-implements the semantics of the reference CorrectLambda class
+(CorrectLambda.py:29-317) in a jit/vmap-compatible form:
+
+* the per-interval 2-unknown nonlinear solve (`SolveLambdaSystem`,
+  CorrectLambda.py:266-317) becomes a fixed-iteration Levenberg-Marquardt
+  loop with branch-free accept/reject (`where`), keeping the reference's
+  T -> 1 "stretch" preconditioning and the closed-form/no-migration branches
+  as arithmetic selected by masks instead of Python control flow;
+* expected-coalescence-time residuals use the inverse-free first-moment
+  kernel (kernels/expm.py) instead of the reference's double matrix inverse
+  (CorrectLambda.py:94-110);
+* the 1-unknown post-split fit (`FitSinglePop`, CorrectLambda.py:88-92)
+  becomes a deterministic bracket-expansion + bisection on the monotone
+  expected-coalescence-time equation.
+
+All functions are pure and operate on the current trace dtype (float64 under
+x64 for reference parity, float32 on TPU).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..model.statespace import correction_matrix
+from .expm import expm, expm_integral_moment
+
+_PREC = 1e-10  # reference `prec`: no-migration threshold & solver tolerance
+_NORM_EPS = 0.02  # reference `normEps`: near-identical-state merge threshold
+_LM_ITERS = 100
+_BISECT_ITERS = 60
+_EXPAND_ITERS = 40
+
+
+def _ect_conditional(lam, T):
+    """E[coal time | coal in (0,T)] shift: reference ExpectedCoalTimeOnePop.
+
+    1/lam - T/(exp(lam*T)-1), with the reference's lam > 100 overflow guard.
+    """
+    x = lam * T
+    tail = jnp.where(lam > 100.0, 0.0, T / jnp.expm1(jnp.where(lam > 100.0, 1.0, x)))
+    return 1.0 / lam - tail
+
+
+def _ect_nonconditional(lam, T):
+    """(1 - exp(-lam T)(1 + lam T)) / lam (reference :79-80)."""
+    x = lam * T
+    return (1.0 - jnp.exp(-x) * (1.0 + x)) / lam
+
+
+def _lm(res_fn, x0, lower=None, iters=_LM_ITERS):
+    """Fixed-iteration Levenberg-Marquardt for tiny residual systems.
+
+    res_fn: R^n -> R^m, differentiated with jacfwd.  Branch-free accept /
+    reject; optional lower bound enforced by clipping (the reference uses
+    scipy trf bounds, whose solutions here are interior).
+    """
+    n = x0.shape[-1]
+
+    def clip(x):
+        return x if lower is None else jnp.maximum(x, lower)
+
+    def cost(x):
+        r = res_fn(x)
+        return jnp.sum(r * r)
+
+    def body(carry, _):
+        x, damp, trust, c = carry
+        r = res_fn(x)
+        J = jax.jacfwd(res_fn)(x)
+        jtj = J.T @ J
+        g = J.T @ r
+        a = jtj + damp * jnp.eye(n, dtype=x.dtype)
+        delta = jnp.linalg.solve(a, -g)
+        # trust-region step clipping: keeps the iterates in the basin the
+        # reference's scipy trf solver explores from x0 (a raw Gauss-Newton
+        # step can jump to a far-away nonphysical minimum).
+        dn = jnp.linalg.norm(delta)
+        delta = delta * jnp.minimum(1.0, trust / jnp.maximum(dn, 1e-300))
+        xn = clip(x + delta)
+        cn = cost(xn)
+        ok = jnp.isfinite(cn) & (cn < c)
+        x = jnp.where(ok, xn, x)
+        c = jnp.where(ok, cn, c)
+        damp = jnp.clip(jnp.where(ok, damp * 0.25, damp * 4.0), 1e-14, 1e10)
+        trust = jnp.clip(jnp.where(ok, trust * 2.0, trust * 0.5),
+                         1e-8, 1e3)
+        return (x, damp, trust, c), None
+
+    x0 = clip(x0)
+    trust0 = jnp.maximum(jnp.linalg.norm(x0), 1.0)
+    (x, _, _, _), _ = jax.lax.scan(
+        body, (x0, jnp.asarray(1e-3, x0.dtype), trust0, cost(x0)), None,
+        length=iters
+    )
+    return x
+
+
+# ---------------------------------------------------------------------------
+# residual systems (stretched units: T == 1)
+# ---------------------------------------------------------------------------
+
+
+def _residual_coal_time(l, mu, lh, p_norm):
+    """LambdaSystem (CorrectLambda.py:151-157): match per-genome expected
+    coalescence times of the 3-state migration CTMC to the PSMC one-pop
+    values.  ``p_norm``: (2,3) per-genome normalised location probabilities.
+    """
+    m = correction_matrix(l[0], l[1], mu[0], mu[1])
+    e, _, k = expm_integral_moment(m, 1.0)
+    ep = p_norm @ e.T  # (2,3)
+    pnc = ep.sum(-1)
+    kp = p_norm @ k.T
+    coal_t2 = (l[0] * kp[:, 0] + l[1] * kp[:, 1]) / (1.0 - pnc)
+    coal_t1 = _ect_conditional(lh, 1.0)
+    return coal_t2 - coal_t1
+
+
+def _residual_cp(l, mu, lh, p_raw):
+    """LambdaSystem1 (CorrectLambda.py:169-173): match per-genome
+    no-coalescence probabilities.  ``p_raw``: (2,3) unnormalised.
+    """
+    m = correction_matrix(l[0], l[1], mu[0], mu[1])
+    e = expm(m)
+    nc = (p_raw @ e.T).sum(-1)
+    nch = jnp.exp(-lh) * p_raw.sum(-1)
+    return nc - nch
+
+
+def _residual_nomig(l, lh, pr0):
+    """LambdaSystemNoMigration (CorrectLambda.py:237-251), closed form."""
+    pnc = pr0[:, 0] * jnp.exp(-l[0]) + pr0[:, 1] * jnp.exp(-l[1]) + pr0[:, 2]
+    ect = jnp.stack([_ect_nonconditional(l[0], 1.0), _ect_nonconditional(l[1], 1.0)])
+    coal_t = (pr0[:, 0] * ect[0] + pr0[:, 1] * ect[1]) / (1.0 - pnc)
+    return coal_t - _ect_conditional(lh, 1.0)
+
+
+def _nomig_closed_form(lh, T, p0):
+    """SolveNoMigration1 (CorrectLambda.py:213-235): cpfit closed form.
+
+    Returns (lc (2,), p_out (2,3)); lc == -1 marks failure (log of <= 0).
+    """
+    s0 = p0[0].sum()
+    s1 = p0[1].sum()
+    a1, a2, c1 = p0[0, 0] / s0, p0[0, 1] / s0, p0[0, 2] / s0
+    a3, a4, c2 = p0[1, 0] / s1, p0[1, 1] / s1, p0[1, 2] / s1
+    det = a1 * a4 - a2 * a3
+    x1 = jnp.exp(-lh[0] * T) - c1
+    x2 = jnp.exp(-lh[1] * T) - c2
+    y1 = (a4 * x1 - a2 * x2) / det
+    y2 = (-a3 * x1 + a1 * x2) / det
+    good = (y1 > 0) & (y2 > 0)
+    lc0 = jnp.where(good, -jnp.log(jnp.where(good, y1, 1.0)) / T, -1.0)
+    lc1 = jnp.where(good, -jnp.log(jnp.where(good, y2, 1.0)) / T, -1.0)
+    lc = jnp.stack([lc0, lc1])
+    decay = jnp.stack([jnp.exp(-lc0 * T), jnp.exp(-lc1 * T), jnp.ones_like(lc0)])
+    p_out = p0 * decay[None, :]
+    return lc, p_out
+
+
+def solve_lambda_system(lh, T, mu, p0, cpfit: bool, mixture_th: float = 0.0):
+    """Device analogue of CorrectLambda.SolveLambdaSystem.
+
+    Args:
+      lh: (2,) PSMC mixed coalescence rates for the interval.
+      T: scalar interval length.
+      mu: (2,) migration rates (may be traced optimiser parameters).
+      p0: (2, 3) per-genome lineage-location probabilities entering the
+        interval (unnormalised; rows are genomes).
+      cpfit: static; match no-coalescence probabilities instead of expected
+        coalescence times.
+      mixture_th: static mixture threshold (reference SetMixtureTH).
+
+    Returns (lc (2,), p_out (2,3)).  lc <= 0 signals correction failure,
+    handled upstream by the validity mask (reference returns False and the
+    likelihood becomes -inf, MigrationInference.py:346-348).
+    """
+    dtype = p0.dtype
+    lh = jnp.asarray(lh, dtype)
+    mu = jnp.asarray(mu, dtype)
+    T = jnp.asarray(T, dtype)
+
+    s = p0.sum(-1)  # (2,)
+    p_norm = p0 / s[:, None]
+
+    # near-identical-state merge (reference :278-290).  NB: the reference's
+    # no-migration branches return *before* this merge and before the
+    # stretch, so they see the raw lh.
+    norm_v = jnp.sqrt(jnp.sum(p0 * p0, axis=-1))
+    norm_d = jnp.sqrt(jnp.sum((p0[0] - p0[1]) ** 2))
+    merge = norm_d < _NORM_EPS * jnp.minimum(norm_v[0], norm_v[1])
+    lh_eff = jnp.where(merge, 0.5 * (lh[0] + lh[1]), lh)
+
+    # stretched units: T -> 1 (reference :293-298); mathematically neutral
+    # (residual zeros are invariant), used for conditioning as upstream does.
+    mu_s = mu * T
+    lh_s = lh_eff * T
+    lh_raw_s = lh * T
+
+    no_mig = (mu[0] + mu[1]) < _PREC
+
+    if cpfit:
+        # general branch: probability matching
+        lc_gen = _lm(lambda l: _residual_cp(l, mu_s, lh_s, p0), lh_s) / T
+        lc_nm, p_nm = _nomig_closed_form(lh, T, p0)
+    else:
+        lc_gen = _lm(lambda l: _residual_coal_time(l, mu_s, lh_s, p_norm), lh_s) / T
+        lower = 0.01 * jnp.minimum(lh_raw_s[0], lh_raw_s[1])
+        lc_nm = _lm(lambda l: _residual_nomig(l, lh_raw_s, p_norm), lh_raw_s,
+                    lower=lower) / T
+        decay = jnp.stack(
+            [jnp.exp(-lc_nm[0] * T), jnp.exp(-lc_nm[1] * T), jnp.ones((), dtype)]
+        )
+        p_nm = p0 * decay[None, :]
+
+    # general-branch propagation: p' = expm(M(lc, mu) T) p  (reference :313-317)
+    m = correction_matrix(lc_gen[0], lc_gen[1], mu[0], mu[1])
+    e = expm(m * T)
+    p_gen = p0 @ e.T
+
+    lc = jnp.where(no_mig, lc_nm, lc_gen)
+    p_out = jnp.where(no_mig, p_nm, p_gen)
+
+    # mixture early-out (reference :267-272): lc = -1 => upstream failure
+    if mixture_th > 0.0:
+        mixture = jnp.sqrt(jnp.sum((p_norm[0] - p_norm[1]) ** 2))
+        bail = mixture < mixture_th
+        lc = jnp.where(bail, jnp.full_like(lc, -1.0), lc)
+        p_out = jnp.where(bail, p0, p_out)
+    return lc, p_out
+
+
+def fit_single_pop(lh, T, weights):
+    """FitSinglePop (CorrectLambda.py:88-92): post-split single-population fit.
+
+    weights: (2,) unnormalised genome weights (the reference passes
+    P0 = [[w0,0,0],[w1,0,0]]).  Solves ECT(lam) = Te for the weighted target
+    Te by deterministic bracket expansion + bisection (ECT is monotone
+    decreasing in lam), matching scipy least_squares to ~1e-12 relative.
+    """
+    dtype = jnp.result_type(T, 0.0)
+    lh = jnp.asarray(lh, dtype)
+    w = weights / weights.sum()
+    te = w[0] * _ect_conditional(lh[0], T) + w[1] * _ect_conditional(lh[1], T)
+    x0 = w[0] * lh[0] + w[1] * lh[1]
+    lower = 0.01 * jnp.minimum(lh[0], lh[1])
+
+    def g(lam):
+        return _ect_conditional(lam, T) - te  # decreasing in lam
+
+    # expand upper bracket from x0 until g(hi) < 0
+    def expand(carry, _):
+        hi = carry
+        need = g(hi) >= 0
+        return jnp.where(need, hi * 2.0, hi), None
+
+    hi0 = jnp.maximum(x0, lower * 2.0)
+    hi, _ = jax.lax.scan(expand, hi0, None, length=_EXPAND_ITERS)
+    lo = lower
+
+    def bisect(carry, _):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        gm = g(mid)
+        lo = jnp.where(gm >= 0, mid, lo)
+        hi = jnp.where(gm >= 0, hi, mid)
+        return (lo, hi), None
+
+    (lo, hi), _ = jax.lax.scan(bisect, (lo, hi), None, length=_BISECT_ITERS)
+    return 0.5 * (lo + hi)
+
+
+def coal_rates(lc, mu, T, p0):
+    """CoalRates (CorrectLambda.py:112-122): true EPS -> PSMC-style mixed rates.
+
+    Forward direction used by the TestModel flow (CoalescentRates).
+    Returns (lh (2,), p_out (2,3)).
+    """
+    m = correction_matrix(lc[0], lc[1], mu[0], mu[1])
+    e = expm(m * jnp.asarray(T, p0.dtype))
+    p_out = p0 @ e.T
+    nc = p_out.sum(-1) / p0.sum(-1)
+    lh = -jnp.log(nc) / T
+    return lh, p_out

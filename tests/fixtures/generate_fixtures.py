@@ -139,6 +139,13 @@ def _spectrum_case(name, times, lambdas, splitT, mi, pu, sfs8, **kwargs):
         [list(v) for v in mi], [list(v) for v in pu], **kwargs
     )
     llh = m.JAFSLikelihood([])
+    flags = dict(
+        unfolded=float(kwargs.get("unfolded", False)),
+        trueEPS=float(kwargs.get("trueEPS", False)),
+        cpfit=float(kwargs.get("cpfit", False)),
+        smooth=float(kwargs.get("smooth", False)),
+        sampleDate=float(kwargs.get("sampleDate", 0)),
+    )
     return dict(
         name=name,
         times=np.asarray(times, float),
@@ -148,6 +155,9 @@ def _spectrum_case(name, times, lambdas, splitT, mi, pu, sfs8, **kwargs):
         jafs=np.asarray(m.JAFS, float),
         llh=float(llh),
         lc=np.asarray(m.lc, float),
+        mi=np.asarray([list(map(float, v)) for v in mi], float).reshape(-1, 5),
+        pu=np.asarray([list(map(float, v)) for v in pu], float).reshape(-1, 4),
+        flags=np.asarray(list(flags.values()), float),
     )
 
 

@@ -1,0 +1,118 @@
+"""Parity tests: device correction solvers vs reference CorrectLambda oracles."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from conftest import load_fixture
+from misti_tpu.kernels import correction as kc
+
+
+def _run_case(lh, T, mu, p0, cpfit):
+    fn = jax.jit(kc.solve_lambda_system, static_argnames=("cpfit", "mixture_th"))
+    lc, pout = fn(jnp.asarray(lh), float(T), jnp.asarray(mu), jnp.asarray(p0), cpfit)
+    return np.asarray(lc), np.asarray(pout)
+
+
+def _ref_cost(lh, T, mu, p0, cpfit, lc):
+    """Least-squares cost of the reference residual system at solution lc.
+
+    The reference's least_squares often stops at a NONZERO-residual minimum
+    (the 2-equation system has no exact root); along the flat valley the
+    parameters are only determined to ~1e-4, so the correct parity criterion
+    is 'our cost <= reference cost (1 + eps)', with tight parameter parity
+    reserved for exact-root cases.
+    """
+    import jax.numpy as jnp
+
+    lc = jnp.asarray(lc)
+    lh = jnp.asarray(lh)
+    mu = jnp.asarray(mu)
+    p0 = jnp.asarray(p0)
+    pn = p0 / p0.sum(1, keepdims=True)
+    if mu.sum() < 1e-10:
+        if cpfit:
+            return 0.0  # closed form, no cost
+        r = kc._residual_nomig(lc * T, lh * T, pn)
+    elif cpfit:
+        r = kc._residual_cp(lc * T, mu * T, lh * T, p0)
+    else:
+        r = kc._residual_coal_time(lc * T, mu * T, lh * T, pn)
+    return float(jnp.sum(r * r))
+
+
+def test_solve_lambda_system_matches_reference():
+    """Parity policy:
+
+    * exact-root systems (the generic case on realistic inputs, and all cpfit
+      probability-matching systems): tight parameter + propagated-p parity;
+    * unsatisfiable systems (nonzero-residual minima, arising for extreme
+      random inputs): the endpoint along the flat valley -- and even its
+      sign, which decides the reference's failure flag -- is solver noise,
+      so we require our least-squares cost to match-or-beat the reference's
+      and track success/failure agreement statistically.
+    """
+    fx = load_fixture("correction.npz")
+    n = fx["lh"].shape[0]
+    valley = 0
+    sign_mismatch = 0
+    for i in range(n):
+        if not fx["ok"][i]:
+            continue
+        lh, T, mu, p0 = (fx["lh"][i], float(fx["T"][i, 0]), fx["mu"][i],
+                         fx["p0"][i].reshape(2, 3))
+        cpfit = bool(fx["cpfit"][i, 0])
+        lc, pout = _run_case(lh, T, mu, p0, cpfit)
+        ref_lc = fx["lc"][i]
+        ref_p = fx["pout"][i].reshape(2, 3)
+        ref_cost = _ref_cost(lh, T, mu, p0, cpfit, ref_lc)
+        our_cost = _ref_cost(lh, T, mu, p0, cpfit, lc)
+        if np.all(ref_lc > 0) and ref_cost < 1e-16 and our_cost < 1e-16:
+            np.testing.assert_allclose(lc, ref_lc, rtol=1e-6, atol=1e-9,
+                                       err_msg=f"case {i}")
+            np.testing.assert_allclose(pout, ref_p, rtol=1e-5, atol=1e-9,
+                                       err_msg=f"case {i}")
+        else:
+            valley += 1
+            assert our_cost <= ref_cost * (1 + 2e-3) + 1e-14, (
+                f"case {i}: cost {our_cost} vs ref {ref_cost}")
+            if (np.all(ref_lc > 0)) != (np.all(np.asarray(lc) > 0)):
+                sign_mismatch += 1
+    # success/failure flags can flip on degenerate unsatisfiable systems;
+    # they must agree on the (realistic) majority
+    assert sign_mismatch <= valley // 2, (valley, sign_mismatch)
+
+
+def test_fit_single_pop_matches_reference():
+    fx = load_fixture("single_pop.npz")
+    for i in range(fx["lh"].shape[0]):
+        lam = kc.fit_single_pop(
+            jnp.asarray(fx["lh"][i]), float(fx["T"][i, 0]), jnp.asarray(fx["w"][i])
+        )
+        np.testing.assert_allclose(
+            float(lam), float(fx["lam"][i, 0]), rtol=2e-5, err_msg=f"case {i}"
+        )
+
+
+def test_solver_is_vmappable():
+    """vmapped batch solve must agree with per-case solves."""
+    fx = load_fixture("correction.npz")
+    sel = (fx["ok"][:, 0] > 0) & (fx["cpfit"][:, 0] == 0)
+    lh = jnp.asarray(fx["lh"][sel])
+    T = jnp.asarray(fx["T"][sel, 0])
+    mu = jnp.asarray(fx["mu"][sel])
+    p0 = jnp.asarray(fx["p0"][sel].reshape(-1, 2, 3))
+    batched = jax.jit(
+        jax.vmap(lambda a, b, c, d: kc.solve_lambda_system(a, b, c, d, False))
+    )
+    lc_b, p_b = batched(lh, T, mu, p0)
+    for k in range(int(sel.sum())):
+        lc_s, p_s = _run_case(
+            np.asarray(lh[k]), float(T[k]), np.asarray(mu[k]), np.asarray(p0[k]),
+            False,
+        )
+        # different compiled programs (batched vs single) reassociate float
+        # ops, so agreement is to roundoff, not bitwise
+        np.testing.assert_allclose(np.asarray(lc_b[k]), lc_s, rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(p_b[k]), p_s, rtol=1e-7, atol=1e-9)

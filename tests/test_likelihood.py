@@ -1,0 +1,113 @@
+"""End-to-end likelihood parity vs the reference on all fixture scenarios.
+
+The key regression suite: reference MigrationInference.JAFSLikelihood oracles
+(expected JSFS, corrected rates, llh) across trueEPS, correction (both fit
+modes), migration bands, pulses, smoothing, ancient samples and fractional
+split times.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from conftest import FIXDIR, load_fixture
+from misti_tpu.engine.spec import build_spec
+from misti_tpu.engine.likelihood import build_likelihood
+
+
+def _load_cases():
+    meta_path = os.path.join(FIXDIR, "likelihood_meta.json")
+    if not os.path.exists(meta_path):
+        pytest.skip("likelihood fixtures not generated")
+    with open(meta_path) as f:
+        names = json.load(f)
+    fx = load_fixture("likelihood.npz")
+    cases = []
+    for i, name in enumerate(names):
+        g = lambda k, i=i: fx[f"c{i}_{k}"]
+        flags = g("flags")
+        cases.append(
+            dict(
+                name=name,
+                times=g("times"),
+                lambdas=g("lambdas"),
+                splitT=float(g("splitT")),
+                sfs8=g("sfs8"),
+                jafs=g("jafs"),
+                llh=float(g("llh")),
+                lc=g("lc"),
+                mi=g("mi"),
+                pu=g("pu"),
+                unfolded=bool(flags[0]),
+                trueEPS=bool(flags[1]),
+                cpfit=bool(flags[2]),
+                smooth=bool(flags[3]),
+                sampleDate=int(flags[4]),
+            )
+        )
+    return cases
+
+
+CASES = _load_cases()
+
+
+def _build(case):
+    spec = build_spec(
+        list(case["times"]),
+        [list(v) for v in case["lambdas"]],
+        list(case["sfs8"]),
+        case["splitT"],
+        [list(v) for v in case["mi"]],
+        [list(v) for v in case["pu"]],
+        correct=not case["trueEPS"],
+        cpfit=case["cpfit"],
+        smooth=case["smooth"],
+        unfolded=case["unfolded"],
+        sample_date=case["sampleDate"],
+    )
+    return build_likelihood(spec)
+
+
+@pytest.mark.parametrize("case", CASES, ids=[c["name"] for c in CASES])
+def test_llh_matches_reference(case):
+    lik = _build(case)
+    llh, aux = lik.llh_aux(np.zeros(0))
+    assert bool(aux["valid"]), f"valid=False but reference llh={case['llh']}"
+    # corrected rates: exact in trueEPS mode, solver-tolerance otherwise
+    tol = 1e-12 if case["trueEPS"] else 2e-4
+    np.testing.assert_allclose(np.asarray(aux["lc"]), case["lc"],
+                               rtol=tol, atol=tol)
+    np.testing.assert_allclose(np.asarray(aux["jafs"]), case["jafs"],
+                               rtol=5e-6, atol=1e-9)
+    np.testing.assert_allclose(float(llh), case["llh"], rtol=1e-7, atol=1e-3)
+
+
+def test_negative_rate_gives_minus_inf():
+    case = next(c for c in CASES if c["name"] == "correct_cpfit1_mig1")
+    spec = build_spec(
+        list(case["times"]), [list(v) for v in case["lambdas"]],
+        list(case["sfs8"]), case["splitT"],
+        [[1, 2, int(case["splitT"]), 0.3, 1]], [],
+        unfolded=True, cpfit=True,
+    )
+    lik = build_likelihood(spec)
+    assert np.isneginf(float(lik.llh(np.array([-0.5]))))
+    assert np.isfinite(float(lik.llh(np.array([0.3]))))
+
+
+def test_batched_llh_matches_single():
+    case = next(c for c in CASES if c["name"] == "correct_cpfit1_mig1")
+    spec = build_spec(
+        list(case["times"]), [list(v) for v in case["lambdas"]],
+        list(case["sfs8"]), case["splitT"],
+        [[1, 2, int(case["splitT"]), 0.3, 1]], [],
+        unfolded=True, cpfit=True,
+    )
+    lik = build_likelihood(spec)
+    batch = np.linspace(0.05, 1.2, 8)[:, None]
+    out = np.asarray(lik.llh_batch(batch))
+    for i, p in enumerate(batch):
+        np.testing.assert_allclose(out[i], float(lik.llh(p)), rtol=1e-9,
+                                   atol=1e-7)
