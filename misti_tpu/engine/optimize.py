@@ -1,0 +1,190 @@
+"""Optimisers: device Nelder-Mead (scipy-semantics) and basin-hopping wrapper.
+
+The reference fits 1-4 migration/pulse parameters with
+``scipy.optimize.minimize(method='Nelder-Mead', xatol=fatol=tol,
+maxiter=1000)`` (MigrationInference.py:718-731).  This module provides a
+branch-free Nelder-Mead with identical update rules and termination
+semantics, expressed with `lax.while_loop` + `where` selections so it jits
+and vmaps: a batch of B fits runs in lockstep, turning every simplex step
+into one (4+n)*B-wide batched likelihood evaluation -- the TPU replacement
+for GNU-Parallel process fan-out.
+
+Infinite objectives (llh = -inf failures) are handled like scipy: they are
+ordinary comparably-large values; termination additionally requires a finite
+best vertex.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_RHO = 1.0  # reflection
+_CHI = 2.0  # expansion
+_PSI = 0.5  # contraction
+_SIGMA = 0.5  # shrink
+_NONZDELT = 0.05
+_ZDELT = 0.00025
+
+
+class NMResult(NamedTuple):
+    x: jax.Array  # (n,) best vertex
+    fun: jax.Array  # scalar best objective
+    nit: jax.Array  # iterations used
+    converged: jax.Array  # bool
+
+
+def _initial_simplex(x0):
+    n = x0.shape[-1]
+    pert = jnp.where(x0 != 0.0, x0 * (1.0 + _NONZDELT), _ZDELT)
+    sim = jnp.broadcast_to(x0, (n + 1, n))
+    sim = sim.at[1:].set(jnp.where(jnp.eye(n, dtype=bool), pert, x0))
+    return sim
+
+
+def nelder_mead(
+    fun: Callable,
+    x0,
+    xatol: float = 1e-4,
+    fatol: float = 1e-4,
+    maxiter: int = 1000,
+) -> NMResult:
+    """Minimise ``fun`` with scipy-compatible Nelder-Mead update rules.
+
+    ``fun``: R^n -> scalar; evaluated on traced inputs, so under `vmap` every
+    simplex trial point of every batched problem evaluates in one batch.
+    """
+    x0 = jnp.atleast_1d(jnp.asarray(x0))
+    n = x0.shape[-1]
+    if n == 0:
+        f = fun(x0)
+        return NMResult(x=x0, fun=f, nit=jnp.asarray(0), converged=jnp.asarray(True))
+
+    sim = _initial_simplex(x0)
+    fsim = jax.vmap(fun)(sim)
+
+    def order(sim, fsim):
+        idx = jnp.argsort(fsim)
+        return sim[idx], fsim[idx]
+
+    sim, fsim = order(sim, fsim)
+
+    def converged(sim, fsim):
+        xconv = jnp.max(jnp.abs(sim[1:] - sim[0])) <= xatol
+        fconv = jnp.max(jnp.abs(fsim[0] - fsim[1:])) <= fatol
+        # inf - inf = nan: treat as not converged, like scipy
+        fconv = jnp.where(jnp.isnan(fconv), False, fconv)
+        return xconv & fconv & jnp.isfinite(fsim[0])
+
+    def cond(state):
+        sim, fsim, it = state
+        return (~converged(sim, fsim)) & (it < maxiter)
+
+    def body(state):
+        sim, fsim, it = state
+        xbar = jnp.mean(sim[:-1], axis=0)
+        xr = (1 + _RHO) * xbar - _RHO * sim[-1]
+        xe = (1 + _RHO * _CHI) * xbar - _RHO * _CHI * sim[-1]
+        xc = (1 + _PSI * _RHO) * xbar - _PSI * _RHO * sim[-1]
+        xcc = (1 - _PSI) * xbar + _PSI * sim[-1]
+        # shrink candidates, evaluated in the same batch
+        shrunk = sim[0] + _SIGMA * (sim - sim[0])
+        # ONE vmapped objective call per iteration: keeps the compiled graph
+        # small (the objective is traced once, not 4+n times) and turns the
+        # whole simplex step into a single batched likelihood evaluation.
+        points = jnp.concatenate([jnp.stack([xr, xe, xc, xcc]), shrunk], axis=0)
+        fall = jax.vmap(fun)(points)
+        fxr, fxe, fxc, fxcc = fall[0], fall[1], fall[2], fall[3]
+        fshrunk = fall[4:]
+
+        # decision tree (scipy _minimize_neldermead), as selections
+        take_xe = (fxr < fsim[0]) & (fxe < fxr)
+        take_xr = ((fxr < fsim[0]) & ~(fxe < fxr)) | (
+            (fxr >= fsim[0]) & (fxr < fsim[-2])
+        )
+        inside = (fxr >= fsim[0]) & (fxr >= fsim[-2])
+        take_xc = inside & (fxr < fsim[-1]) & (fxc <= fxr)
+        take_xcc = inside & (fxr >= fsim[-1]) & (fxcc < fsim[-1])
+        doshrink = inside & (
+            ((fxr < fsim[-1]) & ~(fxc <= fxr))
+            | ((fxr >= fsim[-1]) & ~(fxcc < fsim[-1]))
+        )
+
+        new_last = jnp.where(
+            take_xe[..., None], xe,
+            jnp.where(take_xr[..., None], xr,
+                      jnp.where(take_xc[..., None], xc,
+                                jnp.where(take_xcc[..., None], xcc, sim[-1]))),
+        )
+        new_flast = jnp.where(
+            take_xe, fxe,
+            jnp.where(take_xr, fxr,
+                      jnp.where(take_xc, fxc,
+                                jnp.where(take_xcc, fxcc, fsim[-1]))),
+        )
+        sim1 = sim.at[-1].set(new_last)
+        fsim1 = fsim.at[-1].set(new_flast)
+
+        # shrink step (selected when needed)
+        sim1 = jnp.where(doshrink, shrunk.at[0].set(sim[0]), sim1)
+        fsim1 = jnp.where(doshrink, fshrunk.at[0].set(fsim[0]), fsim1)
+
+        sim1, fsim1 = order(sim1, fsim1)
+        return sim1, fsim1, it + 1
+
+    sim, fsim, it = jax.lax.while_loop(cond, body, (sim, fsim, jnp.asarray(0)))
+    # scipy reports nit = 1 + number of simplex updates
+    return NMResult(x=sim[0], fun=fsim[0], nit=it + 1,
+                    converged=converged(sim, fsim))
+
+
+def solve(lik, tol: float = 1e-4, global_opt: bool = False, seed: int = 0):
+    """Reference ``Solve`` (MigrationInference.py:718-733): maximise the llh.
+
+    Returns [params, llh].  With no optimised parameters, evaluates once.
+    ``global_opt`` runs a basin-hopping outer loop (T=0.5, Nelder-Mead local
+    minimiser) on the host around the device NM, like the reference's
+    scipy.optimize.basinhopping call.
+    """
+    spec = lik.spec
+    init = spec.init_params
+    if spec.n_params == 0:
+        return [np.zeros(0), float(lik.llh(np.zeros(0)))]
+
+    obj = lambda p: -lik.llh(p)
+    nm = jax.jit(lambda x0: nelder_mead(obj, x0, xatol=tol, fatol=tol))
+
+    if not global_opt:
+        res = nm(jnp.asarray(init, jnp.result_type(float)))
+        return [np.asarray(res.x), float(-res.fun)]
+
+    # basin-hopping: random displacement + Metropolis accept at T=0.5
+    rng = np.random.default_rng(seed)
+    temp = 0.5
+    stepsize = 0.5
+    x = np.asarray(init, float)
+    res = nm(jnp.asarray(x))
+    best_x, best_f = np.asarray(res.x), float(res.fun)
+    cur_x, cur_f = best_x, best_f
+    for _ in range(100):
+        trial = cur_x + rng.uniform(-stepsize, stepsize, size=cur_x.shape)
+        r = nm(jnp.asarray(trial))
+        fx = float(r.fun)
+        if fx < best_f:
+            best_x, best_f = np.asarray(r.x), fx
+        if fx <= cur_f or rng.random() < np.exp(-(fx - cur_f) / temp):
+            cur_x, cur_f = np.asarray(r.x), fx
+    return [best_x, float(-best_f)]
+
+
+def solve_batch(lik, x0_batch, tol: float = 1e-4):
+    """Batched fits in lockstep: one compiled program, vmapped simplexes.
+
+    x0_batch: (B, n) initial parameter vectors -> NMResult of batch shape B.
+    """
+    obj = lambda p: -lik.llh(p)
+    run = jax.jit(jax.vmap(lambda x0: nelder_mead(obj, x0, xatol=tol, fatol=tol)))
+    return run(jnp.asarray(x0_batch, jnp.result_type(float)))

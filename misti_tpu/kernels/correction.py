@@ -66,8 +66,14 @@ def _lm(res_fn, x0, lower=None, iters=_LM_ITERS):
         r = res_fn(x)
         return jnp.sum(r * r)
 
-    def body(carry, _):
-        x, damp, trust, c = carry
+    def cond(state):
+        x, damp, trust, c, it, step = state
+        # stop when converged (tiny cost or tiny accepted step) or stalled
+        done = (c < 1e-28) | (step < 1e-13 * (1.0 + jnp.linalg.norm(x)))
+        return (~done) & (it < iters)
+
+    def body(state):
+        x, damp, trust, c, it, _ = state
         r = res_fn(x)
         J = jax.jacfwd(res_fn)(x)
         jtj = J.T @ J
@@ -82,19 +88,19 @@ def _lm(res_fn, x0, lower=None, iters=_LM_ITERS):
         xn = clip(x + delta)
         cn = cost(xn)
         ok = jnp.isfinite(cn) & (cn < c)
+        step = jnp.where(ok, jnp.linalg.norm(xn - x), jnp.inf)
         x = jnp.where(ok, xn, x)
         c = jnp.where(ok, cn, c)
         damp = jnp.clip(jnp.where(ok, damp * 0.25, damp * 4.0), 1e-14, 1e10)
         trust = jnp.clip(jnp.where(ok, trust * 2.0, trust * 0.5),
                          1e-8, 1e3)
-        return (x, damp, trust, c), None
+        return (x, damp, trust, c, it + 1, step)
 
     x0 = clip(x0)
     trust0 = jnp.maximum(jnp.linalg.norm(x0), 1.0)
-    (x, _, _, _), _ = jax.lax.scan(
-        body, (x0, jnp.asarray(1e-3, x0.dtype), trust0, cost(x0)), None,
-        length=iters
-    )
+    state = (x0, jnp.asarray(1e-3, x0.dtype), trust0, cost(x0),
+             jnp.asarray(0), jnp.asarray(jnp.inf, x0.dtype))
+    x, _, _, _, _, _ = jax.lax.while_loop(cond, body, state)
     return x
 
 

@@ -57,7 +57,7 @@ _PADE13 = (
 )
 _THETA13 = 5.371920351148152  # max ||A||_1 for which unscaled Pade-13 is safe
 
-_MAX_SQUARINGS = 32
+_MAX_SQUARINGS = 16
 
 
 def expm(a: jax.Array, max_squarings: int = _MAX_SQUARINGS) -> jax.Array:

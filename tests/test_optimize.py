@@ -1,0 +1,79 @@
+"""Nelder-Mead parity with scipy and the reference full-fit oracle."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from scipy import optimize as sopt
+
+from conftest import load_fixture
+from misti_tpu.engine.optimize import nelder_mead, solve, solve_batch
+from misti_tpu.engine.spec import build_spec
+from misti_tpu.engine.likelihood import build_likelihood
+
+
+@pytest.mark.parametrize(
+    "fn,x0",
+    [
+        (lambda x: (x[0] - 1.3) ** 2 + 2.0 * (x[1] + 0.4) ** 2, [0.0, 0.0]),
+        (lambda x: (1 - x[0]) ** 2 + 100 * (x[1] - x[0] ** 2) ** 2, [-1.2, 1.0]),
+        (lambda x: jnp.abs(x[0] - 0.7) + (x[1] * x[2]) ** 2, [0.1, 0.5, -0.5]),
+    ],
+)
+def test_nm_matches_scipy(fn, x0):
+    ours = nelder_mead(fn, jnp.asarray(x0), xatol=1e-6, fatol=1e-6, maxiter=2000)
+    ref = sopt.minimize(
+        lambda x: float(fn(jnp.asarray(x))), np.asarray(x0), method="Nelder-Mead",
+        options={"xatol": 1e-6, "fatol": 1e-6, "maxiter": 2000},
+    )
+    assert bool(ours.converged)
+    np.testing.assert_allclose(np.asarray(ours.x), ref.x, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(ours.fun), ref.fun, rtol=1e-6, atol=1e-9)
+
+
+def test_nm_identical_trajectory_quadratic():
+    """Same update rules => same iterate count on a smooth problem."""
+    fn = lambda x: (x[0] - 2.0) ** 2 + (x[1] - 1.0) ** 2 + x[0] * x[1] * 0.3
+    ours = nelder_mead(fn, jnp.asarray([0.3, -0.4]), xatol=1e-4, fatol=1e-4)
+    ref = sopt.minimize(
+        lambda x: float(fn(jnp.asarray(x))), [0.3, -0.4], method="Nelder-Mead",
+        options={"xatol": 1e-4, "fatol": 1e-4, "maxiter": 1000},
+    )
+    assert int(ours.nit) == ref.nit
+    np.testing.assert_allclose(np.asarray(ours.x), ref.x, rtol=0, atol=1e-12)
+
+
+def test_nm_handles_inf_objective():
+    fn = lambda x: jnp.where(x[0] < 0, jnp.inf, (x[0] - 0.5) ** 2)
+    res = nelder_mead(fn, jnp.asarray([2.0]), xatol=1e-6, fatol=1e-6)
+    assert bool(res.converged)
+    np.testing.assert_allclose(float(res.x[0]), 0.5, atol=1e-4)
+
+
+def test_full_fit_matches_reference_solve():
+    """The reference Nelder-Mead fit oracle (solve.npz): 1 migration param."""
+    fx = load_fixture("solve.npz")
+    spec = build_spec(
+        list(fx["times"]), [list(v) for v in fx["lams"]], list(fx["sfs"]),
+        float(fx["splitT"]), [list(v) for v in fx["mi"]], [],
+        unfolded=True, smooth=False,
+    )
+    lik = build_likelihood(spec)
+    x, llh = solve(lik, tol=1e-4)
+    # optimum is at the x >= 0 boundary; llh is the meaningful comparison
+    np.testing.assert_allclose(llh, float(fx["llh"]), rtol=1e-7, atol=2e-4)
+    assert abs(float(x[0]) - float(fx["x"][0])) < 1e-3
+
+
+def test_solve_batch_lockstep():
+    fx = load_fixture("solve.npz")
+    spec = build_spec(
+        list(fx["times"]), [list(v) for v in fx["lams"]], list(fx["sfs"]),
+        float(fx["splitT"]), [list(v) for v in fx["mi"]], [],
+        unfolded=True, smooth=False,
+    )
+    lik = build_likelihood(spec)
+    res = solve_batch(lik, np.array([[0.5], [0.1], [1.5]]), tol=1e-4)
+    # all starts converge to the same optimum
+    f = -np.asarray(res.fun)
+    np.testing.assert_allclose(f, f[0], atol=2e-4)
