@@ -310,6 +310,72 @@ def fix_solve():
     )
 
 
+PSMC_TEMPLATE = """\
+CC  synthetic psmc output for parser parity testing
+MM  pattern:{pattern}, n_seqs:10, sum_L:90000000
+RD\t0
+TR\t{theta0}\t{rho0}
+{rs0}PA\t{pattern} 0.1
+//
+RD\t{rd}
+TR\t{theta}\t{rho}
+{rs}PA\t{pattern} 0.05
+//
+"""
+
+
+def make_psmc_file(path, seed, rd=20, n=14, pattern="1*4+5*2"):
+    """Write a synthetic psmc-format file with two RD rounds."""
+    r = np.random.default_rng(seed)
+    theta = float(np.round(r.uniform(0.002, 0.03), 6))
+    rho = float(np.round(theta * r.uniform(0.15, 0.3), 6))
+    tk = np.concatenate([[0.0], np.round(np.cumsum(r.uniform(0.002, 0.09, n - 1)), 6)])
+    lk = np.round(r.uniform(0.2, 6.0, n), 6)
+    tk0 = tk * 1.1
+    lk0 = lk * 0.9
+
+    def rs_block(tk, lk):
+        return "".join(
+            f"RS\t{i}\t{tk[i]}\t{lk[i]}\t0.0\t0.0\t0.0\n" for i in range(len(tk))
+        )
+
+    with open(path, "w") as f:
+        f.write(
+            PSMC_TEMPLATE.format(
+                pattern=pattern, rd=rd,
+                theta0=theta * 1.2, rho0=rho, rs0=rs_block(tk0, lk0),
+                theta=theta, rho=rho, rs=rs_block(tk, lk),
+            )
+        )
+    return theta, rho
+
+
+def fix_readpsmc():
+    """ReadPSMC / ReadPSMC1 oracles on synthetic psmc files."""
+    import tempfile
+
+    f1 = os.path.join(OUT, "synth1.psmc")
+    f2 = os.path.join(OUT, "synth2.psmc")
+    make_psmc_file(f1, seed=11)
+    make_psmc_file(f2, seed=22)
+    out = {}
+    for tag, sdate in (("sd0", 0.0), ("sd1", 7300.0)):
+        d = migrationIO.ReadPSMC(f1, f2, sdate, -1)
+        out[f"{tag}_times"] = np.asarray(d.times, float)
+        out[f"{tag}_lambdas"] = np.asarray(d.lambdas, float)
+        out[f"{tag}_scaleTime"] = np.asarray(float(d.scaleTime))
+        out[f"{tag}_theta"] = np.asarray(float(d.theta))
+        out[f"{tag}_rho"] = np.asarray(float(d.rho))
+        out[f"{tag}_sdd"] = np.asarray(float(d.sampleDateDiscr))
+        out[f"{tag}_tpsmc0"] = np.asarray(d.Tpsmc[0], float)
+        out[f"{tag}_tpsmc1"] = np.asarray(d.Tpsmc[1], float)
+    d = migrationIO.ReadPSMC1(f1, f2, -1, divergenceTime=120000.0)
+    out["pm1_times"] = np.asarray(d.times, float)
+    out["pm1_lambdas"] = np.asarray(d.lambdas, float)
+    out["pm1_div"] = np.asarray(float(d.divergenceTime))
+    np.savez(os.path.join(OUT, "readpsmc.npz"), **out)
+
+
 if __name__ == "__main__":
     fix_statespace()
     print("statespace ok")
@@ -321,5 +387,7 @@ if __name__ == "__main__":
     print("likelihood ok")
     fix_readms()
     print("readms ok")
+    fix_readpsmc()
+    print("readpsmc ok")
     fix_solve()
     print("solve ok")
