@@ -1,0 +1,10 @@
+#!/usr/bin/env python3
+"""Drop-in replacement for the reference MiSTI.py (see misti_tpu.cli.misti)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from misti_tpu.cli.misti import main
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Benchmark: likelihood evaluations per second on the live accelerator.
+
+Workload matches the reference baseline row (BASELINE.md): one full
+likelihood evaluation with lambda-correction enabled (cpfit), 64 merged
+time intervals, 1 migration band -- the reference does ~5.7 of these per
+second on one CPU core.  Here the evaluation is vmapped over a batch of
+migration-rate candidates on the accelerator, which is exactly how the
+fitting and bootstrap drivers consume it.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_EVALS_PER_S = 5.7  # reference, 1 CPU core (BASELINE.md)
+
+
+def main() -> int:
+    os.environ.setdefault("MISTI_PLATFORM", "default")  # use the accelerator
+    import jax
+
+    from misti_tpu.config import setup_platform
+
+    setup_platform(os.environ["MISTI_PLATFORM"])
+
+    from misti_tpu.engine.likelihood import build_likelihood
+    from misti_tpu.engine.spec import build_spec
+
+    numT = 64
+    split_t = 28
+    rng = np.random.default_rng(11)
+    grid = 0.008 * (1.06 ** np.arange(numT)) - 0.008
+    times = list(np.diff(grid))
+    tt = np.cumsum([0.0] + times)
+    lams = np.stack(
+        [1.0 + 0.5 * np.sin(tt * 12.0) * np.exp(-tt * 3),
+         1.1 + 0.4 * np.cos(tt * 9.0) * np.exp(-tt * 2)], axis=1
+    )
+    sfs = [0.0, *rng.integers(200, 6000, size=7).astype(float)]
+    spec = build_spec(
+        times, [list(v) for v in lams], sfs, split_t,
+        [[1, 2, split_t, 0.3, 1]], [], unfolded=True, cpfit=True, smooth=False,
+    )
+    lik = build_likelihood(spec)
+
+    batch = int(os.environ.get("MISTI_BENCH_BATCH", "256"))
+    params = np.linspace(0.05, 1.2, batch)[:, None]
+
+    out = lik.llh_batch(params)  # compile
+    np.asarray(out)
+    n_ok = int(np.isfinite(np.asarray(out)).sum())
+
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = lik.llh_batch(params)
+    np.asarray(out)
+    dt = time.perf_counter() - t0
+
+    evals_per_s = batch * reps / dt
+    print(
+        json.dumps(
+            {
+                "metric": "llh_evals_per_s_64int_corrected",
+                "value": round(evals_per_s, 2),
+                "unit": "evals/s",
+                "vs_baseline": round(evals_per_s / BASELINE_EVALS_PER_S, 2),
+            }
+        )
+    )
+    # sanity to stderr only (driver parses stdout json)
+    print(
+        f"# backend={jax.default_backend()} batch={batch} reps={reps} "
+        f"time={dt:.3f}s finite={n_ok}/{batch}",
+        file=sys.stderr,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,139 @@
+"""Bootstrap x split-time sweep: the test.bs workflow, on-device.
+
+The reference's benchmark suite (test.bs/*.sh) runs 101 bootstrap
+replicates x 8-10 split times x one Nelder-Mead fit each as independent
+processes (~7e4 likelihood evaluations, ~3.5 core-hours per scenario).
+Here one `sweep()` call does the same work as, per split time, a single
+vmapped lockstep Nelder-Mead over all replicates, sharded across the device
+mesh; per-replicate llh tables come back as one array and the confidence
+interval computation (bs_conf_int.ipynb cells 2-3) is a few lines of numpy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import random
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dist.mesh import make_mesh, pad_to_multiple, shard_replicates
+from ..io.data import Jafs
+from ..io.jsfs import bootstrap_jafs
+from .likelihood import build_likelihood
+from .optimize import nelder_mead
+from .spec import build_spec
+
+
+@dataclasses.dataclass
+class SweepResult:
+    split_times: np.ndarray  # (S,)
+    params: np.ndarray  # (S, B, n) fitted parameters
+    llh: np.ndarray  # (S, B) fitted log-likelihoods
+    data: np.ndarray  # (B, 7) per-replicate spectra (row 0 = full data)
+
+
+def make_bootstrap_data(jafs: Jafs, n_replicates: int, seed: int = 0) -> np.ndarray:
+    """(B+1, 7): row 0 is the summed spectrum, rows 1..B are resamples
+    (the utils/generateJSFS_bs.py convention)."""
+    rows = [jafs.summed()[1:]]
+    rng = random.Random(seed)
+    for _ in range(n_replicates):
+        rows.append(np.asarray(bootstrap_jafs(jafs, rng=rng)[1:], float))
+    return np.stack(rows)
+
+
+def sweep(
+    times: Sequence[float],
+    lambdas,
+    data: np.ndarray,  # (B, 7) replicate spectra
+    split_times: Sequence[float],
+    mi_template,  # e.g. [[1, 4, "ST", 0.3, 1]] -- "ST" replaced by split index
+    pu_template=(),
+    *,
+    tol: float = 1e-4,
+    mesh=None,
+    sample_date: int = 0,
+    **spec_flags,
+) -> SweepResult:
+    """Fit every (replicate, split time) cell.
+
+    ``mi_template``/``pu_template`` rows may use the string "ST" for the
+    migration end column to mean "the split index", as the test.bs scripts
+    do with their shell variable.
+    """
+    data = np.asarray(data, float)
+    b = data.shape[0]
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+
+    all_params = []
+    all_llh = []
+    for st in split_times:
+        mi = [[int(r[0]), int(r[1]), int(st) if r[2] == "ST" else int(r[2]),
+               float(r[3]), int(r[4])] for r in mi_template]
+        pu = [[int(r[0]), int(r[1]), float(r[2]), int(r[3])] for r in pu_template]
+        spec = build_spec(
+            list(times), lambdas, [0.0, *data[0]], st, mi, pu,
+            sample_date=sample_date, **spec_flags,
+        )
+        lik = build_likelihood(spec)
+        n_par = spec.n_params
+        x0 = np.tile(spec.init_params, (b, 1))
+
+        if n_par:
+            def fit_one(x0_i, data_i):
+                return nelder_mead(
+                    lambda p: -lik.llh_data(p, data_i), x0_i, xatol=tol, fatol=tol
+                )
+
+            run = jax.jit(jax.vmap(fit_one))
+        else:
+            def fit_one(x0_i, data_i):
+                from .optimize import NMResult
+
+                llh = lik.llh_data(jnp.zeros(0), data_i)
+                return NMResult(x=jnp.zeros(0), fun=-llh, nit=jnp.asarray(0),
+                                converged=jnp.asarray(True))
+
+            run = jax.jit(jax.vmap(fit_one))
+
+        dpad, orig = pad_to_multiple(data, n_dev, fill=1.0)
+        xpad, _ = pad_to_multiple(x0, n_dev)
+        with mesh:
+            res = run(shard_replicates(mesh, xpad), shard_replicates(mesh, dpad))
+        all_params.append(np.asarray(res.x)[:orig])
+        all_llh.append(-np.asarray(res.fun)[:orig])
+
+    return SweepResult(
+        split_times=np.asarray(list(split_times), float),
+        params=np.stack(all_params),
+        llh=np.stack(all_llh),
+        data=data,
+    )
+
+
+def split_time_confidence_interval(
+    result: SweepResult, times: Sequence[float], scale_time: float = 1.0,
+    level: float = 0.975,
+):
+    """Argmax-llh split time per replicate -> Student-t CI in generations
+    (the bs_conf_int.ipynb computation)."""
+    from scipy import stats
+
+    best = result.llh.argmax(axis=0)  # (B,) index into split_times
+    st_idx = result.split_times[best]
+    cum = np.concatenate([[0.0], np.cumsum(np.asarray(times, float))])
+    gens = np.array([cum[int(np.ceil(s))] for s in st_idx]) * scale_time
+    mean = gens.mean()
+    se = gens.std(ddof=1) / np.sqrt(len(gens)) if len(gens) > 1 else 0.0
+    tcrit = stats.t.ppf(level, df=max(len(gens) - 1, 1))
+    return {
+        "best_split_idx": st_idx,
+        "split_gens": gens,
+        "mean": mean,
+        "ci": (mean - tcrit * se, mean + tcrit * se),
+        "level": level,
+    }

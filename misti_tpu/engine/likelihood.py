@@ -51,6 +51,7 @@ class Likelihood:
     llh: Callable  # params (n,) -> scalar llh (-inf on failure)
     llh_aux: Callable  # params -> (llh, dict(jafs, lc, pr, valid))
     llh_batch: Callable  # params (B, n) -> (B,) llh
+    llh_data: Callable = None  # (params, data7) -> llh, for bootstrap batching
 
 
 def build_likelihood(spec: ModelSpec) -> Likelihood:
@@ -220,9 +221,7 @@ def build_likelihood(spec: ModelSpec) -> Likelihood:
 
     # -- full likelihood -----------------------------------------------------
 
-    data = jnp.asarray(spec.data_jafs)
-
-    def llh_aux(params):
+    def _llh_core(params, data, llh_const):
         params = jnp.asarray(params, jnp.result_type(float)).reshape(n_par)
         nonneg = jnp.all(params >= 0) if n_par else jnp.asarray(True)
         mi, pu = map_params(params)
@@ -243,18 +242,42 @@ def build_likelihood(spec: ModelSpec) -> Likelihood:
             )
         pos = jnp.all(cats > 0) & jnp.isfinite(norm) & (norm > 0)
         safe = jnp.where(cats > 0, cats, 1.0)
-        llh = spec.llh_const + jnp.sum(dat * jnp.log(safe))
+        llh = llh_const + jnp.sum(dat * jnp.log(safe))
         valid = nonneg & valid_corr & pos
         llh = jnp.where(valid, llh, -jnp.inf)
         return llh, {"jafs": jafs, "lc": lc, "pr": pr, "valid": valid,
                      "mi": mi, "pu": pu}
 
+    def llh_aux(params):
+        return _llh_core(params, jnp.asarray(spec.data_jafs), spec.llh_const)
+
     def llh_only(params):
         return llh_aux(params)[0]
+
+    def llh_data(params, data7):
+        """Likelihood with the 7-category data spectrum as a traced argument
+        (for vmapping over bootstrap replicates).  The multinomial constant
+        is recomputed on device via gammaln."""
+        data7 = jnp.asarray(data7)
+        n = data7.sum()
+        if spec.unfolded:
+            const = jax.scipy.special.gammaln(n + 1) - jnp.sum(
+                jax.scipy.special.gammaln(data7 + 1)
+            )
+        else:
+            pairs = jnp.stack(
+                [data7[0] + data7[6], data7[1] + data7[5], data7[2] + data7[4],
+                 data7[3]]
+            )
+            const = jax.scipy.special.gammaln(n + 1) - jnp.sum(
+                jax.scipy.special.gammaln(pairs + 1)
+            )
+        return _llh_core(params, data7, const)[0]
 
     return Likelihood(
         spec=spec,
         llh=jax.jit(llh_only),
         llh_aux=jax.jit(llh_aux),
         llh_batch=jax.jit(jax.vmap(llh_only)),
+        llh_data=llh_data,
     )

@@ -211,6 +211,22 @@ def build_spec(
     return spec
 
 
+def saturated_llh(spec: ModelSpec) -> float:
+    """Saturated-model log-likelihood upper bound
+    (reference MaximumLLHFunction, MigrationInference.py:696-711)."""
+    data = spec.data_jafs
+    jafs = data / data.sum()
+    if spec.unfolded:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            terms = np.where(data > 0, data * np.log(np.where(jafs > 0, jafs, 1.0)), 0.0)
+        return spec.llh_const + float(terms.sum())
+    pairs_d = [data[0] + data[6], data[1] + data[5], data[2] + data[4], data[3]]
+    pairs_j = [jafs[0] + jafs[6], jafs[1] + jafs[5], jafs[2] + jafs[4], jafs[3]]
+    return spec.llh_const + float(
+        sum(d * np.log(j) for d, j in zip(pairs_d, pairs_j) if d > 0)
+    )
+
+
 def _smooth_matrices(spec: ModelSpec) -> np.ndarray:
     """Per-genome smoothing weight matrices (SmoothConst, :387-405).
 

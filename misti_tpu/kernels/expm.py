@@ -26,10 +26,14 @@ Design notes (TPU-first, see SURVEY.md section 7 decisions 2-3):
   we get K = T*N1 - N2 (integrate [s<u] over the square), again inverse-free
   and well-behaved as any rate tends to 0.
 
-* expm itself is a fixed-structure scaling-and-squaring Pade-13 evaluation
-  (Higham 2005) rather than `jax.scipy.linalg.expm`: no `lax.cond` branches,
-  so it vmaps/jits into clean batched matmuls that XLA tiles onto the MXU,
-  and it is differentiable for the Gauss-Newton correction solver.
+* expm itself is a fixed-structure scaling-and-squaring TAYLOR evaluation
+  (Paterson-Stockmeyer degree 18) rather than `jax.scipy.linalg.expm` or a
+  Pade rational: a Pade evaluation ends in a batched linear solve whose
+  triangular-inverse custom call blows the 16 MB VMEM scoped limit for
+  (B, 88, 88) batches on TPU, while the Taylor form is matmuls only -- no
+  `lax.cond` branches, MXU-tileable, differentiable for the Gauss-Newton
+  correction solver, and accurate to ~1e-12 relative in f64 (validated
+  against scipy in tests/test_expm.py).
 """
 
 from __future__ import annotations
@@ -37,46 +41,30 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-# Pade-13 coefficients (Higham, "The scaling and squaring method for the
-# matrix exponential revisited", SIAM J. Matrix Anal. 2005).
-_PADE13 = (
-    64764752532480000.0,
-    32382376266240000.0,
-    7771770303897600.0,
-    1187353796428800.0,
-    129060195264000.0,
-    10559470521600.0,
-    670442572800.0,
-    33522128640.0,
-    1323241920.0,
-    40840800.0,
-    960960.0,
-    16380.0,
-    182.0,
-    1.0,
-)
-_THETA13 = 5.371920351148152  # max ||A||_1 for which unscaled Pade-13 is safe
+_THETA_TAYLOR = 1.0  # scale so ||A||_1 <= 1: Taylor-18 truncation ~ 2e-16
+_TAYLOR_DEGREE = 18
 
-_MAX_SQUARINGS = 16
+_MAX_SQUARINGS = 20
 
 
 def expm(a: jax.Array, max_squarings: int = _MAX_SQUARINGS) -> jax.Array:
     """Matrix exponential of (batched) square matrices.
 
-    Fixed-iteration scaling-and-squaring + Pade-13; fully vmap/jit friendly
-    (the squaring loop always runs ``max_squarings`` iterations, with inert
-    iterations selected by `where`).
+    Fixed-iteration scaling-and-squaring + Taylor-18 (Paterson-Stockmeyer):
+    matmuls only, no linear solves; fully vmap/jit friendly (the squaring
+    loop always runs ``max_squarings`` iterations, with inert iterations
+    selected by `where`).
     """
     a = jnp.asarray(a)
     norm = jnp.linalg.norm(a, ord=1, axis=(-2, -1))
-    # number of squarings: smallest s >= 0 with norm / 2^s <= theta13
-    s = jnp.maximum(0, jnp.ceil(jnp.log2(norm / _THETA13))).astype(jnp.int32)
+    # number of squarings: smallest s >= 0 with norm / 2^s <= theta
+    s = jnp.maximum(0, jnp.ceil(jnp.log2(norm / _THETA_TAYLOR))).astype(jnp.int32)
     s = jnp.where(jnp.isfinite(norm) & (norm > 0), s, 0)
     s = jnp.minimum(s, max_squarings)
     scale = jnp.exp2(-s.astype(a.dtype))
     a_scaled = a * scale[..., None, None]
 
-    e = _pade13(a_scaled)
+    e = _taylor18(a_scaled)
 
     def body(i, e):
         sq = e @ e
@@ -86,24 +74,34 @@ def expm(a: jax.Array, max_squarings: int = _MAX_SQUARINGS) -> jax.Array:
     return jax.lax.fori_loop(0, max_squarings, body, e)
 
 
-def _pade13(a: jax.Array) -> jax.Array:
-    b = _PADE13
+def _taylor18(a: jax.Array) -> jax.Array:
+    """Degree-18 Taylor polynomial of e^A via Paterson-Stockmeyer.
+
+    sum_{k=0}^{18} A^k / k! evaluated in base A^6: 5 matmuls for the powers
+    + 3 block-Horner matmuls = 8 matmuls total.
+    """
     n = a.shape[-1]
-    ident = jnp.eye(n, dtype=a.dtype)
-    ident = jnp.broadcast_to(ident, a.shape)
-    a2 = a @ a
-    a4 = a2 @ a2
-    a6 = a4 @ a2
-    u = a @ (
-        a6 @ (b[13] * a6 + b[11] * a4 + b[9] * a2)
-        + b[7] * a6 + b[5] * a4 + b[3] * a2 + b[1] * ident
-    )
-    v = (
-        a6 @ (b[12] * a6 + b[10] * a4 + b[8] * a2)
-        + b[6] * a6 + b[4] * a4 + b[2] * a2 + b[0] * ident
-    )
-    # (V - U)^{-1} (V + U)
-    return jnp.linalg.solve(v - u, v + u)
+    ident = jnp.broadcast_to(jnp.eye(n, dtype=a.dtype), a.shape)
+    p = [ident, a]
+    for _ in range(5):  # A^2 .. A^6
+        p.append(p[-1] @ a)
+
+    import math
+
+    c = [1.0 / math.factorial(k) for k in range(19)]
+
+    def block(k0):  # c[k0]*I + c[k0+1]*A + ... + c[k0+5]*A^5
+        out = c[k0] * p[0]
+        for j in range(1, 6):
+            out = out + c[k0 + j] * p[j]
+        return out
+
+    # b0 + A^6 (b1 + A^6 (b2 + A^6 * c18*I... folded into b2's tail))
+    b2 = block(12) + c[18] * p[6]
+    b1 = block(6)
+    b0 = block(0)
+    a6 = p[6]
+    return b0 + a6 @ (b1 + a6 @ b2)
 
 
 def _augment1(m: jax.Array, t) -> jax.Array:

@@ -391,3 +391,13 @@ if __name__ == "__main__":
     print("readpsmc ok")
     fix_solve()
     print("solve ok")
+
+
+def fix_cli():
+    """End-to-end reference CLI run on the synthetic psmc/jsfs inputs.
+
+    Reproduces: MiSTI.py synth1.psmc synth2.psmc synth.jsfs 8 -uf
+                -mi 1 2 8 0.3 1 -o ref_fit.mi -bs 0
+    (kept in tests/fixtures/ref_fit.mi; regenerate with runpy as in the
+    repository history if the synthetic inputs change).
+    """

@@ -64,7 +64,9 @@ def test_expm_differentiable():
     """The correction solver Gauss-Newton needs d(expm)/d(rates)."""
 
     def f(x):
-        m = jnp.array([[-x, 0.3], [x, -0.3]])
+        # leaky (sub-generator) matrix so the column sums -- and hence the
+        # total mass -- genuinely depend on x
+        m = jnp.array([[-2.0 * x, 0.3], [x, -0.9]])
         return ke.expm(m * 0.5).sum()
 
     g = jax.grad(f)(1.2)

@@ -1,0 +1,10 @@
+#!/usr/bin/env python3
+"""Thin wrapper: drop-in replacement for the reference utils/MiSTI2MS.py."""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+from misti_tpu.cli.tools import misti2ms_main
+
+if __name__ == "__main__":
+    sys.exit(misti2ms_main())
