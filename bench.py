@@ -25,12 +25,28 @@ def main() -> int:
     os.environ.setdefault("MISTI_PLATFORM", "default")  # use the accelerator
     import jax
 
+    # persistent compilation cache: the first TPU compile of the fused
+    # likelihood takes minutes via the remote-compile tunnel; subsequent
+    # bench runs reuse the serialized executable.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from misti_tpu.config import setup_platform
 
     setup_platform(os.environ["MISTI_PLATFORM"])
 
     from misti_tpu.engine.likelihood import build_likelihood
     from misti_tpu.engine.spec import build_spec
+
+    # MISTI_BENCH_MODE=trueeps isolates the spectrum cost (skips the
+    # correction sweep) for profiling; the reported metric is always the
+    # default corrected workload.
+    true_eps = os.environ.get("MISTI_BENCH_MODE") == "trueeps"
 
     numT = 64
     split_t = 28
@@ -46,6 +62,7 @@ def main() -> int:
     spec = build_spec(
         times, [list(v) for v in lams], sfs, split_t,
         [[1, 2, split_t, 0.3, 1]], [], unfolded=True, cpfit=True, smooth=False,
+        correct=not true_eps,
     )
     lik = build_likelihood(spec)
 
@@ -67,7 +84,7 @@ def main() -> int:
     print(
         json.dumps(
             {
-                "metric": "llh_evals_per_s_64int_corrected",
+                "metric": "llh_evals_per_s_64int_trueeps" if true_eps else "llh_evals_per_s_64int_corrected",
                 "value": round(evals_per_s, 2),
                 "unit": "evals/s",
                 "vs_baseline": round(evals_per_s / BASELINE_EVALS_PER_S, 2),

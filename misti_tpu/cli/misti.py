@@ -180,6 +180,14 @@ def main(argv=None) -> int:
         mi_format.write_migration(fout, text)
     t3 = time.time()
 
+    # Report counters (reference MigrationInference.Report, :735-739).  Our
+    # Nelder-Mead evaluates all candidate points of an iteration in one
+    # batched call, so the call count is derived from the iteration count.
+    n_par = spec.n_params
+    nfev = (n_par + 1) + solve.last_nit * (n_par + 5) if n_par else 1
+    print("Total number of likelihood function calls is", int(nfev))
+    print("Lambda correction called", int(nfev) * (spec.splitT if spec.correct else 0),
+          "times.")
     if clargs.debug:
         print_err("Runtime:   optimisation ", t2 - t1)
         print_err("           total        ", t3 - t0)

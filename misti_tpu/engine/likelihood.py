@@ -74,6 +74,9 @@ def build_likelihood(spec: ModelSpec) -> Likelihood:
     if sd < s:
         is_sample[sd] = True
 
+    # statically migration-free model: no fixed bands, no optimised rates
+    static_no_mig = (len(spec.opt_mi) == 0) and bool(np.all(spec.mi_base == 0))
+
     mi_any = spec.mi_masks.sum(0) if len(spec.opt_mi) else np.zeros((numT, 2))
     pu_any = spec.pu_masks.sum(0) if len(spec.opt_pu) else np.zeros((numT, 2))
     n_mi = len(spec.opt_mi)
@@ -106,7 +109,8 @@ def build_likelihood(spec: ModelSpec) -> Likelihood:
             p0 = _pulse_update_3state(p0, pu_t[1], 1)
             if spec.correct:
                 lc_t, p_next = kc.solve_lambda_system(
-                    lh_t, T_t, mi_t, p0, spec.cpfit, spec.mixture_th
+                    lh_t, T_t, mi_t, p0, spec.cpfit, spec.mixture_th,
+                    static_no_mig=static_no_mig,
                 )
             else:  # trueEPS: rates pass through, state evolves only by pulses
                 lc_t = lh_t
@@ -173,6 +177,12 @@ def build_likelihood(spec: ModelSpec) -> Likelihood:
     def spectrum(lc, mi, pu):
         p0 = jnp.zeros(44, dtype=lc.dtype).at[2].set(1.0)
 
+        # NOTE on structure: the per-interval exponentials could be batched
+        # over intervals OUTSIDE this scan (they don't depend on the carry),
+        # but measured on v5e that materialises (B, s, 88, 88) Taylor-power
+        # intermediates in HBM and is ~25% SLOWER at production batch sizes
+        # than keeping the expm inside the scan, where the working set stays
+        # (B, 88, 88) and VMEM-resident.  Keep the expm in the body.
         def pre_body(p0, inp):
             lc_t, T_t, mi_t, pu_t, is_s, cmask = inp
             p0 = jnp.where(is_s, ancient @ p0, p0)

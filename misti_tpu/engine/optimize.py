@@ -84,7 +84,11 @@ def nelder_mead(
         return (~converged(sim, fsim)) & (it < maxiter)
 
     def body(state):
+        # NB: under vmap this body runs for every lane until ALL lanes are
+        # done; `halt` freezes converged lanes so batched fits are identical
+        # to standalone fits.
         sim, fsim, it = state
+        halt = converged(sim, fsim)
         xbar = jnp.mean(sim[:-1], axis=0)
         xr = (1 + _RHO) * xbar - _RHO * sim[-1]
         xe = (1 + _RHO * _CHI) * xbar - _RHO * _CHI * sim[-1]
@@ -133,7 +137,9 @@ def nelder_mead(
         fsim1 = jnp.where(doshrink, fshrunk.at[0].set(fsim[0]), fsim1)
 
         sim1, fsim1 = order(sim1, fsim1)
-        return sim1, fsim1, it + 1
+        sim1 = jnp.where(halt, sim, sim1)
+        fsim1 = jnp.where(halt, fsim, fsim1)
+        return sim1, fsim1, it + jnp.where(halt, 0, 1)
 
     sim, fsim, it = jax.lax.while_loop(cond, body, (sim, fsim, jnp.asarray(0)))
     # scipy reports nit = 1 + number of simplex updates
@@ -151,6 +157,7 @@ def solve(lik, tol: float = 1e-4, global_opt: bool = False, seed: int = 0):
     """
     spec = lik.spec
     init = spec.init_params
+    solve.last_nit = 0
     if spec.n_params == 0:
         return [np.zeros(0), float(lik.llh(np.zeros(0)))]
 
@@ -159,6 +166,16 @@ def solve(lik, tol: float = 1e-4, global_opt: bool = False, seed: int = 0):
 
     if not global_opt:
         res = nm(jnp.asarray(init, jnp.result_type(float)))
+        solve.last_nit = int(res.nit)
+        # scipy disp-style summary (the reference passes disp=True)
+        if bool(res.converged):
+            print("Optimization terminated successfully.")
+        else:
+            print("Maximum number of iterations has been exceeded.")
+        n = len(init)
+        print(f"         Current function value: {float(res.fun):f}")
+        print(f"         Iterations: {int(res.nit)}")
+        print(f"         Function evaluations: {(n + 1) + int(res.nit) * (n + 5)}")
         return [np.asarray(res.x), float(-res.fun)]
 
     # basin-hopping: random displacement + Metropolis accept at T=0.5

@@ -67,13 +67,14 @@ def _lm(res_fn, x0, lower=None, iters=_LM_ITERS):
         return jnp.sum(r * r)
 
     def cond(state):
-        x, damp, trust, c, it, step = state
-        # stop when converged (tiny cost or tiny accepted step) or stalled
-        done = (c < 1e-28) | (step < 1e-13 * (1.0 + jnp.linalg.norm(x)))
+        x, damp, trust, c, it, done = state
         return (~done) & (it < iters)
 
     def body(state):
-        x, damp, trust, c, it, _ = state
+        # NB: under vmap, while_loop bodies run for EVERY lane until all
+        # lanes' conditions are false -- so every update is masked by `done`
+        # to keep batched results identical to per-problem solves.
+        x, damp, trust, c, it, done = state
         r = res_fn(x)
         J = jax.jacfwd(res_fn)(x)
         jtj = J.T @ J
@@ -87,19 +88,26 @@ def _lm(res_fn, x0, lower=None, iters=_LM_ITERS):
         delta = delta * jnp.minimum(1.0, trust / jnp.maximum(dn, 1e-300))
         xn = clip(x + delta)
         cn = cost(xn)
-        ok = jnp.isfinite(cn) & (cn < c)
+        ok = jnp.isfinite(cn) & (cn < c) & ~done
         step = jnp.where(ok, jnp.linalg.norm(xn - x), jnp.inf)
         x = jnp.where(ok, xn, x)
         c = jnp.where(ok, cn, c)
-        damp = jnp.clip(jnp.where(ok, damp * 0.25, damp * 4.0), 1e-14, 1e10)
-        trust = jnp.clip(jnp.where(ok, trust * 2.0, trust * 0.5),
-                         1e-8, 1e3)
-        return (x, damp, trust, c, it + 1, step)
+        damp = jnp.where(
+            done, damp, jnp.clip(jnp.where(ok, damp * 0.25, damp * 4.0),
+                                 1e-14, 1e10)
+        )
+        trust = jnp.where(
+            done, trust, jnp.clip(jnp.where(ok, trust * 2.0, trust * 0.5),
+                                  1e-8, 1e3)
+        )
+        # converged: tiny cost or tiny accepted step
+        done = done | (c < 1e-28) | (step < 1e-13 * (1.0 + jnp.linalg.norm(x)))
+        return (x, damp, trust, c, it + 1, done)
 
     x0 = clip(x0)
     trust0 = jnp.maximum(jnp.linalg.norm(x0), 1.0)
     state = (x0, jnp.asarray(1e-3, x0.dtype), trust0, cost(x0),
-             jnp.asarray(0), jnp.asarray(jnp.inf, x0.dtype))
+             jnp.asarray(0), jnp.asarray(False))
     x, _, _, _, _, _ = jax.lax.while_loop(cond, body, state)
     return x
 
@@ -166,7 +174,8 @@ def _nomig_closed_form(lh, T, p0):
     return lc, p_out
 
 
-def solve_lambda_system(lh, T, mu, p0, cpfit: bool, mixture_th: float = 0.0):
+def solve_lambda_system(lh, T, mu, p0, cpfit: bool, mixture_th: float = 0.0,
+                        static_no_mig: bool = False):
     """Device analogue of CorrectLambda.SolveLambdaSystem.
 
     Args:
@@ -208,11 +217,8 @@ def solve_lambda_system(lh, T, mu, p0, cpfit: bool, mixture_th: float = 0.0):
     no_mig = (mu[0] + mu[1]) < _PREC
 
     if cpfit:
-        # general branch: probability matching
-        lc_gen = _lm(lambda l: _residual_cp(l, mu_s, lh_s, p0), lh_s) / T
         lc_nm, p_nm = _nomig_closed_form(lh, T, p0)
     else:
-        lc_gen = _lm(lambda l: _residual_coal_time(l, mu_s, lh_s, p_norm), lh_s) / T
         lower = 0.01 * jnp.minimum(lh_raw_s[0], lh_raw_s[1])
         lc_nm = _lm(lambda l: _residual_nomig(l, lh_raw_s, p_norm), lh_raw_s,
                     lower=lower) / T
@@ -221,13 +227,24 @@ def solve_lambda_system(lh, T, mu, p0, cpfit: bool, mixture_th: float = 0.0):
         )
         p_nm = p0 * decay[None, :]
 
-    # general-branch propagation: p' = expm(M(lc, mu) T) p  (reference :313-317)
-    m = correction_matrix(lc_gen[0], lc_gen[1], mu[0], mu[1])
-    e = expm(m * T)
-    p_gen = p0 @ e.T
-
-    lc = jnp.where(no_mig, lc_nm, lc_gen)
-    p_out = jnp.where(no_mig, p_nm, p_gen)
+    if static_no_mig:
+        # the model is statically migration-free (no fixed bands, no
+        # optimised migration parameters): skip the general LM entirely
+        lc, p_out = lc_nm, p_nm
+    else:
+        if cpfit:
+            # general branch: probability matching
+            lc_gen = _lm(lambda l: _residual_cp(l, mu_s, lh_s, p0), lh_s) / T
+        else:
+            lc_gen = _lm(
+                lambda l: _residual_coal_time(l, mu_s, lh_s, p_norm), lh_s
+            ) / T
+        # general-branch propagation: p' = expm(M(lc, mu) T) p (ref :313-317)
+        m = correction_matrix(lc_gen[0], lc_gen[1], mu[0], mu[1])
+        e = expm(m * T)
+        p_gen = p0 @ e.T
+        lc = jnp.where(no_mig, lc_nm, lc_gen)
+        p_out = jnp.where(no_mig, p_nm, p_gen)
 
     # mixture early-out (reference :267-272): lc = -1 => upstream failure
     if mixture_th > 0.0:

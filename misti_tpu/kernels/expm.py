@@ -44,7 +44,7 @@ import jax.numpy as jnp
 _THETA_TAYLOR = 1.0  # scale so ||A||_1 <= 1: Taylor-18 truncation ~ 2e-16
 _TAYLOR_DEGREE = 18
 
-_MAX_SQUARINGS = 20
+_MAX_SQUARINGS = 30
 
 
 def expm(a: jax.Array, max_squarings: int = _MAX_SQUARINGS) -> jax.Array:
@@ -66,6 +66,9 @@ def expm(a: jax.Array, max_squarings: int = _MAX_SQUARINGS) -> jax.Array:
 
     e = _taylor18(a_scaled)
 
+    # fori_loop (not an early-exit while_loop): this function is
+    # differentiated with jacfwd inside the correction solver, and
+    # lax.while_loop has no JVP rule.
     def body(i, e):
         sq = e @ e
         do = i < s  # per-batch-element predicate
@@ -104,25 +107,78 @@ def _taylor18(a: jax.Array) -> jax.Array:
     return b0 + a6 @ (b1 + a6 @ b2)
 
 
-def _augment1(m: jax.Array, t) -> jax.Array:
-    """[[M*t, I*t], [0, 0]] for the single-integral augmentation."""
-    n = m.shape[-1]
-    dt = jnp.asarray(t, m.dtype)[..., None, None]
-    ident = jnp.broadcast_to(jnp.eye(n, dtype=m.dtype), m.shape)
-    z = jnp.zeros_like(m)
-    top = jnp.concatenate([m * dt, ident * dt], axis=-1)
-    bot = jnp.concatenate([z, z], axis=-1)
-    return jnp.concatenate([top, bot], axis=-2)
+def _taylor18_pair(b: jax.Array):
+    """(e, phi1) of a scaled matrix: e = sum b^k/k!, phi1 = sum b^k/(k+1)!.
+
+    Both series share the Paterson-Stockmeyer powers (5 matmuls) and each
+    costs 2 block-Horner matmuls -- 9 matmuls total for the pair, versus
+    ~8 matmuls on a doubled-size augmented matrix (8x the FLOPs/matmul).
+    """
+    import math
+
+    n = b.shape[-1]
+    ident = jnp.broadcast_to(jnp.eye(n, dtype=b.dtype), b.shape)
+    p = [ident, b]
+    for _ in range(5):  # b^2 .. b^6
+        p.append(p[-1] @ b)
+    b6 = p[6]
+
+    def horner(coeffs):
+        def blk(k0):
+            out = coeffs[k0] * p[0]
+            for j in range(1, 6):
+                if k0 + j < len(coeffs):
+                    out = out + coeffs[k0 + j] * p[j]
+            return out
+
+        b2 = blk(12) + (coeffs[18] * p[6] if len(coeffs) > 18 else 0.0)
+        return blk(0) + b6 @ (blk(6) + b6 @ b2)
+
+    ce = [1.0 / math.factorial(k) for k in range(19)]
+    cp = [1.0 / math.factorial(k + 1) for k in range(19)]
+    return horner(ce), horner(cp)
 
 
-def expm_and_integral(m: jax.Array, t) -> tuple[jax.Array, jax.Array]:
+def expm_and_integral(m: jax.Array, t,
+                      max_squarings: int = 20) -> tuple[jax.Array, jax.Array]:
     """Return (E, N1) with E = e^{M t} and N1 = int_0^t e^{M s} ds.
 
     ``m``: (..., n, n); ``t``: scalar or (...,) broadcastable batch of times.
+
+    Inverse-free: on the scaled step h = t/2^s, E_h and N1_h = h*phi1(M h)
+    come from twin Taylor series sharing their matrix powers; the interval
+    is then doubled s times with
+
+        N1(2h) = N1(h) + E(h) @ N1(h),     E(2h) = E(h)^2,
+
+    which keeps everything matmuls (TPU-friendly) at ~1/5 the FLOPs of an
+    augmented doubled-size expm.  Singular M (zero-migration stationary
+    states) needs no special-casing.
     """
-    n = m.shape[-1]
-    big = expm(_augment1(m, t))
-    return big[..., :n, :n], big[..., :n, n:]
+    m = jnp.asarray(m)
+    t = jnp.asarray(t, m.dtype)
+    b = m * t[..., None, None]
+    norm = jnp.linalg.norm(b, ord=1, axis=(-2, -1))
+    s = jnp.maximum(0, jnp.ceil(jnp.log2(norm / _THETA_TAYLOR))).astype(jnp.int32)
+    s = jnp.where(jnp.isfinite(norm) & (norm > 0), s, 0)
+    s = jnp.minimum(s, max_squarings)
+    scale = jnp.exp2(-s.astype(m.dtype))
+    e, phi1 = _taylor18_pair(b * scale[..., None, None])
+    n1 = (t * scale)[..., None, None] * phi1
+
+    def cond(carry):
+        i, _, _ = carry
+        return i < jnp.minimum(jnp.max(s), max_squarings)
+
+    def body(carry):
+        i, e, n1 = carry
+        do = (i < s)[..., None, None]
+        n1 = jnp.where(do, n1 + e @ n1, n1)
+        e = jnp.where(do, e @ e, e)
+        return i + 1, e, n1
+
+    _, e, n1 = jax.lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32), e, n1))
+    return e, n1
 
 
 def expm_integral_moment(m: jax.Array, t) -> tuple[jax.Array, jax.Array, jax.Array]:
