@@ -50,12 +50,17 @@ def _ect_nonconditional(lam, T):
     return (1.0 - jnp.exp(-x) * (1.0 + x)) / lam
 
 
-def _lm(res_fn, x0, lower=None, iters=_LM_ITERS):
+def _lm(res_fn, x0, lower=None, iters=_LM_ITERS, early_exit=False):
     """Fixed-iteration Levenberg-Marquardt for tiny residual systems.
 
     res_fn: R^n -> R^m, differentiated with jacfwd.  Branch-free accept /
     reject; optional lower bound enforced by clipping (the reference uses
     scipy trf bounds, whose solutions here are interior).
+
+    ``early_exit=True`` uses a lax.while_loop (stops at convergence --
+    lowest latency for single-problem CPU fits); ``False`` uses a masked
+    fixed-length scan (cheapest to compile/batch under vmap on TPU, where
+    XLA's batched-while transform is expensive).
     """
     n = x0.shape[-1]
 
@@ -66,15 +71,8 @@ def _lm(res_fn, x0, lower=None, iters=_LM_ITERS):
         r = res_fn(x)
         return jnp.sum(r * r)
 
-    def cond(state):
-        x, damp, trust, c, it, done = state
-        return (~done) & (it < iters)
-
     def body(state):
-        # NB: under vmap, while_loop bodies run for EVERY lane until all
-        # lanes' conditions are false -- so every update is masked by `done`
-        # to keep batched results identical to per-problem solves.
-        x, damp, trust, c, it, done = state
+        x, damp, trust, c, done = state
         r = res_fn(x)
         J = jax.jacfwd(res_fn)(x)
         jtj = J.T @ J
@@ -102,13 +100,24 @@ def _lm(res_fn, x0, lower=None, iters=_LM_ITERS):
         )
         # converged: tiny cost or tiny accepted step
         done = done | (c < 1e-28) | (step < 1e-13 * (1.0 + jnp.linalg.norm(x)))
-        return (x, damp, trust, c, it + 1, done)
+        return (x, damp, trust, c, done)
 
     x0 = clip(x0)
     trust0 = jnp.maximum(jnp.linalg.norm(x0), 1.0)
     state = (x0, jnp.asarray(1e-3, x0.dtype), trust0, cost(x0),
-             jnp.asarray(0), jnp.asarray(False))
-    x, _, _, _, _, _ = jax.lax.while_loop(cond, body, state)
+             jnp.asarray(False))
+    if early_exit:
+        it_state = (jnp.asarray(0), state)
+        x = jax.lax.while_loop(
+            lambda s: (~s[1][-1]) & (s[0] < iters),
+            lambda s: (s[0] + 1, body(s[1])),
+            it_state,
+        )[1][0]
+    else:
+        (x, _, _, _, _), _ = jax.lax.scan(
+            lambda st, _: (body(st), None), state, None, length=iters,
+            unroll=4,
+        )
     return x
 
 
@@ -137,7 +146,7 @@ def _residual_cp(l, mu, lh, p_raw):
     no-coalescence probabilities.  ``p_raw``: (2,3) unnormalised.
     """
     m = correction_matrix(l[0], l[1], mu[0], mu[1])
-    e = expm(m)
+    e = expm(m, max_squarings=14, unroll=True)
     nc = (p_raw @ e.T).sum(-1)
     nch = jnp.exp(-lh) * p_raw.sum(-1)
     return nc - nch
@@ -175,7 +184,8 @@ def _nomig_closed_form(lh, T, p0):
 
 
 def solve_lambda_system(lh, T, mu, p0, cpfit: bool, mixture_th: float = 0.0,
-                        static_no_mig: bool = False):
+                        static_no_mig: bool = False, x0=None,
+                        iters: int = _LM_ITERS, early_exit: bool = False):
     """Device analogue of CorrectLambda.SolveLambdaSystem.
 
     Args:
@@ -215,13 +225,18 @@ def solve_lambda_system(lh, T, mu, p0, cpfit: bool, mixture_th: float = 0.0,
     lh_raw_s = lh * T
 
     no_mig = (mu[0] + mu[1]) < _PREC
+    # warm start (x0 in unstretched rate units): used by the Jacobi outer
+    # iteration of the parallel correction sweep -- later outer rounds
+    # start at the previous round's solution, so a short LM budget suffices
+    start = lh_s if x0 is None else jnp.asarray(x0, dtype) * T
+    start_raw = lh_raw_s if x0 is None else jnp.asarray(x0, dtype) * T
 
     if cpfit:
         lc_nm, p_nm = _nomig_closed_form(lh, T, p0)
     else:
         lower = 0.01 * jnp.minimum(lh_raw_s[0], lh_raw_s[1])
-        lc_nm = _lm(lambda l: _residual_nomig(l, lh_raw_s, p_norm), lh_raw_s,
-                    lower=lower) / T
+        lc_nm = _lm(lambda l: _residual_nomig(l, lh_raw_s, p_norm), start_raw,
+                    lower=lower, iters=iters, early_exit=early_exit) / T
         decay = jnp.stack(
             [jnp.exp(-lc_nm[0] * T), jnp.exp(-lc_nm[1] * T), jnp.ones((), dtype)]
         )
@@ -234,14 +249,16 @@ def solve_lambda_system(lh, T, mu, p0, cpfit: bool, mixture_th: float = 0.0,
     else:
         if cpfit:
             # general branch: probability matching
-            lc_gen = _lm(lambda l: _residual_cp(l, mu_s, lh_s, p0), lh_s) / T
+            lc_gen = _lm(lambda l: _residual_cp(l, mu_s, lh_s, p0), start,
+                         iters=iters, early_exit=early_exit) / T
         else:
             lc_gen = _lm(
-                lambda l: _residual_coal_time(l, mu_s, lh_s, p_norm), lh_s
+                lambda l: _residual_coal_time(l, mu_s, lh_s, p_norm), start,
+                iters=iters, early_exit=early_exit,
             ) / T
         # general-branch propagation: p' = expm(M(lc, mu) T) p (ref :313-317)
         m = correction_matrix(lc_gen[0], lc_gen[1], mu[0], mu[1])
-        e = expm(m * T)
+        e = expm(m * T, max_squarings=20, unroll=True)
         p_gen = p0 @ e.T
         lc = jnp.where(no_mig, lc_nm, lc_gen)
         p_out = jnp.where(no_mig, p_nm, p_gen)
@@ -280,7 +297,7 @@ def fit_single_pop(lh, T, weights):
         return jnp.where(need, hi * 2.0, hi), None
 
     hi0 = jnp.maximum(x0, lower * 2.0)
-    hi, _ = jax.lax.scan(expand, hi0, None, length=_EXPAND_ITERS)
+    hi, _ = jax.lax.scan(expand, hi0, None, length=_EXPAND_ITERS, unroll=8)
     lo = lower
 
     def bisect(carry, _):
@@ -291,7 +308,8 @@ def fit_single_pop(lh, T, weights):
         hi = jnp.where(gm >= 0, hi, mid)
         return (lo, hi), None
 
-    (lo, hi), _ = jax.lax.scan(bisect, (lo, hi), None, length=_BISECT_ITERS)
+    (lo, hi), _ = jax.lax.scan(bisect, (lo, hi), None, length=_BISECT_ITERS,
+                               unroll=8)
     return 0.5 * (lo + hi)
 
 
@@ -302,7 +320,7 @@ def coal_rates(lc, mu, T, p0):
     Returns (lh (2,), p_out (2,3)).
     """
     m = correction_matrix(lc[0], lc[1], mu[0], mu[1])
-    e = expm(m * jnp.asarray(T, p0.dtype))
+    e = expm(m * jnp.asarray(T, p0.dtype), max_squarings=20, unroll=True)
     p_out = p0 @ e.T
     nc = p_out.sum(-1) / p0.sum(-1)
     lh = -jnp.log(nc) / T

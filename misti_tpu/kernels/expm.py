@@ -47,13 +47,17 @@ _TAYLOR_DEGREE = 18
 _MAX_SQUARINGS = 30
 
 
-def expm(a: jax.Array, max_squarings: int = _MAX_SQUARINGS) -> jax.Array:
+def expm(a: jax.Array, max_squarings: int = _MAX_SQUARINGS,
+         unroll: bool = False) -> jax.Array:
     """Matrix exponential of (batched) square matrices.
 
     Fixed-iteration scaling-and-squaring + Taylor-18 (Paterson-Stockmeyer):
     matmuls only, no linear solves; fully vmap/jit friendly (the squaring
     loop always runs ``max_squarings`` iterations, with inert iterations
-    selected by `where`).
+    selected by `where`).  ``unroll=True`` emits the squarings as straight-
+    line code -- for tiny (3x3/9x9) matrices the loop machinery costs more
+    than the masked matmuls, and the solver differentiates through this, so
+    it must stay jvp-compatible (no early-exit while_loop).
     """
     a = jnp.asarray(a)
     norm = jnp.linalg.norm(a, ord=1, axis=(-2, -1))
@@ -66,14 +70,15 @@ def expm(a: jax.Array, max_squarings: int = _MAX_SQUARINGS) -> jax.Array:
 
     e = _taylor18(a_scaled)
 
-    # fori_loop (not an early-exit while_loop): this function is
-    # differentiated with jacfwd inside the correction solver, and
-    # lax.while_loop has no JVP rule.
     def body(i, e):
         sq = e @ e
         do = i < s  # per-batch-element predicate
         return jnp.where(do[..., None, None], sq, e)
 
+    if unroll:
+        for i in range(max_squarings):
+            e = body(i, e)
+        return e
     return jax.lax.fori_loop(0, max_squarings, body, e)
 
 
@@ -194,7 +199,8 @@ def expm_integral_moment(m: jax.Array, t) -> tuple[jax.Array, jax.Array, jax.Arr
     row0 = jnp.concatenate([m * dt, ident * dt, z], axis=-1)
     row1 = jnp.concatenate([z, z, ident * dt], axis=-1)
     row2 = jnp.concatenate([z, z, z], axis=-1)
-    big = expm(jnp.concatenate([row0, row1, row2], axis=-2))
+    big = expm(jnp.concatenate([row0, row1, row2], axis=-2), max_squarings=14,
+               unroll=True)
     e = big[..., :n, :n]
     n1 = big[..., :n, n : 2 * n]
     n2 = big[..., :n, 2 * n :]

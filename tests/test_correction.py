@@ -39,7 +39,12 @@ def _ref_cost(lh, T, mu, p0, cpfit, lc):
         r = kc._residual_cp(lc * T, mu * T, lh * T, p0)
     else:
         r = kc._residual_coal_time(lc * T, mu * T, lh * T, pn)
-    return float(jnp.sum(r * r))
+    c = float(jnp.sum(r * r))
+    # solutions with astronomically large rates (the reference's trf
+    # sometimes ends at lambda ~ 1e8 on degenerate systems) overflow the
+    # unrolled squaring budget; such endpoints are outside the physically
+    # representable range -- treat as +inf cost
+    return c if np.isfinite(c) else float("inf")
 
 
 def test_solve_lambda_system_matches_reference():

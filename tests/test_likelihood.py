@@ -84,6 +84,34 @@ def test_llh_matches_reference(case):
     np.testing.assert_allclose(float(llh), case["llh"], rtol=1e-7, atol=1e-3)
 
 
+@pytest.mark.parametrize(
+    "case",
+    [c for c in CASES if c["name"] in
+     ("correct_cpfit0_mig1", "correct_cpfit1_mig1", "correct_pulse",
+      "correct_sdate", "correct_smooth")],
+    ids=lambda c: c["name"],
+)
+def test_parallel_correction_matches_reference(case):
+    """The Jacobi parallel correction strategy (the TPU path) must agree
+    with the reference oracles like the sequential one does."""
+    from misti_tpu.engine.likelihood import build_likelihood as _bl
+
+    spec = build_spec(
+        list(case["times"]), [list(v) for v in case["lambdas"]],
+        list(case["sfs8"]), case["splitT"],
+        [list(v) for v in case["mi"]], [list(v) for v in case["pu"]],
+        correct=not case["trueEPS"], cpfit=case["cpfit"],
+        smooth=case["smooth"], unfolded=case["unfolded"],
+        sample_date=case["sampleDate"],
+    )
+    lik = _bl(spec, sequential=False)
+    llh, aux = lik.llh_aux(np.zeros(0))
+    assert bool(aux["valid"])
+    np.testing.assert_allclose(np.asarray(aux["lc"]), case["lc"],
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(float(llh), case["llh"], rtol=1e-7, atol=1e-3)
+
+
 def test_negative_rate_gives_minus_inf():
     case = next(c for c in CASES if c["name"] == "correct_cpfit1_mig1")
     spec = build_spec(
