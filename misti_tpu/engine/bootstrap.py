@@ -56,6 +56,7 @@ def sweep(
     tol: float = 1e-4,
     mesh=None,
     sample_date: int = 0,
+    fused: bool = True,
     **spec_flags,
 ) -> SweepResult:
     """Fit every (replicate, split time) cell.
@@ -63,11 +64,22 @@ def sweep(
     ``mi_template``/``pu_template`` rows may use the string "ST" for the
     migration end column to mean "the split index", as the test.bs scripts
     do with their shell variable.
+
+    ``fused=True`` (default) compiles ONE program with the split time as a
+    data index and runs the whole (split x replicate) grid as a single
+    sharded lockstep Nelder-Mead; ``fused=False`` compiles one program per
+    split time (useful for fractional split times, which the fused path
+    does not support).
     """
     data = np.asarray(data, float)
     b = data.shape[0]
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
+
+    if fused and all(float(st) == int(st) for st in split_times):
+        return _sweep_fused(times, lambdas, data, [int(v) for v in split_times],
+                            mi_template, pu_template, tol=tol, mesh=mesh,
+                            sample_date=sample_date, **spec_flags)
 
     all_params = []
     all_llh = []
@@ -112,6 +124,48 @@ def sweep(
         params=np.stack(all_params),
         llh=np.stack(all_llh),
         data=data,
+    )
+
+
+def _sweep_fused(times, lambdas, data, splits, mi_template, pu_template, *,
+                 tol, mesh, sample_date, **spec_flags):
+    """One-compile grid sweep via engine.sweep_fused."""
+    from .sweep_fused import build_fused_sweep
+
+    fs = build_fused_sweep(
+        times, lambdas, splits, mi_template, pu_template,
+        sample_date=sample_date, **spec_flags,
+    )
+    b = data.shape[0]
+    n_dev = mesh.devices.size
+    n_cells = len(splits) * b
+    st_idx = np.repeat(np.arange(len(splits), dtype=np.int32), b)
+    cell_data = np.tile(data, (len(splits), 1))
+    x0 = np.tile(fs.init_params, (n_cells, 1))
+
+    if fs.n_params:
+        def fit_one(st_i, x0_i, d_i):
+            res = nelder_mead(lambda p: -fs.llh(st_i, p, d_i), x0_i,
+                              xatol=tol, fatol=tol)
+            return res.x, -res.fun
+    else:
+        def fit_one(st_i, x0_i, d_i):
+            return jnp.zeros(0), fs.llh(st_i, jnp.zeros(0), d_i)
+
+    run = jax.jit(jax.vmap(fit_one))
+    sp, orig = pad_to_multiple(st_idx, n_dev)
+    dp, _ = pad_to_multiple(cell_data, n_dev, fill=1.0)
+    xp, _ = pad_to_multiple(x0, n_dev)
+    with mesh:
+        x, llh = run(
+            shard_replicates(mesh, sp),
+            shard_replicates(mesh, xp),
+            shard_replicates(mesh, dp),
+        )
+    x = np.asarray(x)[:orig].reshape(len(splits), b, -1)
+    llh = np.asarray(llh)[:orig].reshape(len(splits), b)
+    return SweepResult(
+        split_times=np.asarray(splits, float), params=x, llh=llh, data=data
     )
 
 

@@ -1,0 +1,334 @@
+"""Fused bootstrap x split-time sweep: split time as a data index.
+
+The per-split `build_likelihood` compiles one XLA program per split time
+(the scan lengths are static), which on TPU costs minutes of compile each.
+Here the whole sweep is ONE program: every per-split static quantity
+(padded interval tables, category masks, smoothing matrices, parameter
+masks) is precomputed on the host, stacked over the split axis, and
+gathered by a traced split index.  Padding uses zero-length intervals,
+which are exact no-ops through the whole pipeline:
+
+* 3-state chain & 44-state spectrum: expm(M*0) = I, occupancy N1 = 0;
+* pulse operators at rate 0 are the identity;
+* the post-split correction already treats T == 0 as `lc = 1, nc unchanged`
+  (the reference's own rule, MigrationInference.py:357-359).
+
+So a (split s, replicate b, params) cell evaluates identically to the
+per-split program, but all S x B cells jit into one function that is
+vmapped and sharded together -- the entire test.bs scenario becomes one
+compile + one lockstep Nelder-Mead.
+
+Correction runs the Jacobi-parallel strategy (see engine/likelihood.py);
+smoothing and folded/unfolded semantics match the reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..kernels import correction as kc
+from ..kernels.expm import expm_and_integral
+from ..model import statespace as ss
+from .likelihood import _pulse_update_3state
+from .optimize import nelder_mead
+from .spec import build_spec
+
+
+@dataclasses.dataclass
+class FusedSweep:
+    split_times: np.ndarray  # (S,)
+    n_params: int
+    init_params: np.ndarray
+    llh: callable  # (st_idx, params, data7) -> scalar
+    fit_cell: callable  # (st_idx, x0, data7, tol) -> (x, llh)
+
+
+def build_fused_sweep(
+    times: Sequence[float],
+    lambdas,
+    split_times: Sequence[int],
+    mi_template=(),
+    pu_template=(),
+    *,
+    sample_date: int = 0,
+    correct: bool = True,
+    cpfit: bool = False,
+    smooth: bool = True,
+    unfolded: bool = False,
+    mixture_th: float = 0.0,
+) -> FusedSweep:
+    """Build the fused sweep function.
+
+    ``mi_template`` rows may use "ST" for start/end to mean the split index
+    (the test.bs convention).  All split times must be integers.
+    """
+    splits = [int(v) for v in split_times]
+    b2 = ss.two_pop_basis()
+    b1 = ss.one_pop_basis()
+
+    # per-split specs (host side; also validates the model per split)
+    specs = []
+    for st in splits:
+        mi = [[int(r[0]), st if r[1] == "ST" else int(r[1]),
+               st if r[2] == "ST" else int(r[2]), float(r[3]), int(r[4])]
+              for r in mi_template]
+        pu = [[int(r[0]), st if r[1] == "ST" else int(r[1]), float(r[2]),
+               int(r[3])] for r in pu_template]
+        specs.append(
+            build_spec(
+                list(times), [list(v) for v in lambdas], [0.0] + [1.0] * 7,
+                st, mi, pu, correct=correct, cpfit=cpfit, smooth=smooth,
+                unfolded=unfolded, sample_date=sample_date,
+                mixture_th=mixture_th,
+            )
+        )
+    numT = specs[0].numT
+    n_par = specs[0].n_params
+    s_max = max(splits)
+    n_post = numT - 1 - min(splits)
+    sd = int(sample_date)
+
+    # stacked per-split tables, padded to (s_max / n_post)
+    S = len(splits)
+    t_pre = np.zeros((S, s_max))
+    lh_pre = np.ones((S, s_max, 2))
+    pad_pre = np.ones((S, s_max), dtype=bool)
+    t_post = np.zeros((S, n_post))
+    lh_post = np.ones((S, n_post, 2))
+    catmask = np.ones((S, s_max, 7))
+    is_sample = np.zeros((S, s_max), dtype=bool)
+    smooth_w = np.zeros((S, s_max, s_max))
+    mi_base = np.zeros((S, numT, 2))
+    pu_base = np.zeros((S, numT, 2))
+    mi_masks = np.zeros((S, max(n_par, 1), numT, 2))
+    all_t = np.asarray(specs[0].times)
+    all_lh = np.asarray(specs[0].lh)
+    for i, (st, sp) in enumerate(zip(splits, specs)):
+        t_pre[i, :st] = all_t[:st]
+        lh_pre[i, :st] = all_lh[:st]
+        pad_pre[i, :st] = False
+        npost_i = numT - 1 - st
+        t_post[i, :npost_i] = all_t[st : numT - 1]
+        lh_post[i, :npost_i] = all_lh[st : numT - 1]
+        catmask[i, :st] = 1.0
+        catmask[i, :sd, 2:] = 0.0
+        if sd < st:
+            is_sample[i, sd] = True
+        if sp.smooth_w is not None:
+            smooth_w[i, :st, :st] = 0.0  # filled below per genome
+        mi_base[i] = sp.mi_base
+        pu_base[i] = sp.pu_base
+        # pulses at t >= split are never applied by the reference (its loops
+        # stop at splitT); zero them so they can't fire in the padded region
+        pu_base[i, st:] = 0.0
+        for k in range(len(sp.opt_mi)):
+            mi_masks[i, k] = sp.mi_masks[k]
+        for k in range(len(sp.opt_pu)):
+            mi_masks[i, len(sp.opt_mi) + k] = sp.pu_masks[k]
+
+    smooth_ws = None
+    if smooth:
+        smooth_ws = np.zeros((S, 2, s_max, s_max))
+        for i, (st, sp) in enumerate(zip(splits, specs)):
+            smooth_ws[i, :, :st, :st] = sp.smooth_w
+            # identity on padding so padded lc rows pass through
+            for g in range(2):
+                for k in range(st, s_max):
+                    smooth_ws[i, g, k, k] = 1.0
+
+    n_opt_mi = len(specs[0].opt_mi)
+    lh_last = all_lh[numT - 1]
+
+    ancient = jnp.asarray(b2.ancient)
+    collapse = jnp.asarray(b2.collapse)
+    jsfs2 = jnp.asarray(b2.jsfs)
+    jsfs1 = jnp.asarray(b1.jsfs)
+    static_no_mig = n_opt_mi == 0 and bool(np.all(mi_base == 0))
+    _PAR_OUTERS = 6
+
+    def llh_fn(st_idx, params, data7):
+        st_idx = jnp.asarray(st_idx, jnp.int32)
+        params = jnp.asarray(params, jnp.result_type(float)).reshape(n_par)
+        data7 = jnp.asarray(data7)
+        take = lambda tbl: jnp.take(jnp.asarray(tbl), st_idx, axis=0)
+        tp = take(t_pre)  # (s_max,)
+        lhp = take(lh_pre)  # (s_max, 2)
+        pad = take(pad_pre)  # (s_max,) bool
+        tq = take(t_post)
+        lhq = take(lh_post)
+        cmask = take(catmask)
+        is_s = take(is_sample)
+        mib = take(mi_base)
+        pub = take(pu_base)
+        masks = take(mi_masks)  # (n_par, numT, 2)
+
+        # parameter mapping
+        if n_par:
+            any_mi = masks[:n_opt_mi].sum(0) if n_opt_mi else jnp.zeros_like(mib)
+            rates = mib * (1.0 - jnp.minimum(any_mi, 1.0)) + jnp.einsum(
+                "k,ktc->tc", params[:n_opt_mi], masks[:n_opt_mi]
+            )
+            if n_par > n_opt_mi:
+                pub = pub * (1.0 - jnp.minimum(masks[n_opt_mi:].sum(0), 1.0)) \
+                    + jnp.einsum("k,ktc->tc", params[n_opt_mi:],
+                                 masks[n_opt_mi:])
+            mib = rates
+        mi_pre = jnp.take(mib, jnp.arange(s_max), axis=0)  # first s_max rows
+        pu_pre = jnp.take(pub, jnp.arange(s_max), axis=0)
+
+        nonneg = jnp.all(params >= 0) if n_par else jnp.asarray(True)
+
+        # ---- correction sweep (Jacobi parallel, padded) ----
+        def chain(lc_pre):
+            p0 = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+
+            def body(p, inp):
+                lc_t, T_t, mi_t, pu_t = inp
+                p = _pulse_update_3state(p, pu_t[0], 0)
+                p = _pulse_update_3state(p, pu_t[1], 1)
+                p_in = p
+                m = ss.correction_matrix(lc_t[0], lc_t[1], mi_t[0], mi_t[1])
+                e = kc.expm(m * T_t, max_squarings=20, unroll=True)
+                return p @ e.T, p_in
+
+            p_fin, p_solver = jax.lax.scan(body, p0, (lc_pre, tp, mi_pre,
+                                                      pu_pre))
+            return p_solver, p_fin
+
+        if correct:
+            t_safe = jnp.where(pad, 1.0, tp)
+
+            def solve_all(p_solver, x0, iters):
+                lc, _ = jax.vmap(
+                    lambda a, b, c, d, e: kc.solve_lambda_system(
+                        a, b, c, d, cpfit, mixture_th,
+                        static_no_mig=static_no_mig, x0=e, iters=iters,
+                    )
+                )(lhp, t_safe, mi_pre, p_solver, x0)
+                return jnp.where(pad[:, None], 1.0, lc)
+
+            p_solver, _ = chain(lhp)
+            lc_pre = solve_all(p_solver, lhp, 48)
+
+            def outer(lc_pre, _):
+                p_solver, _ = chain(lc_pre)
+                return solve_all(p_solver, lc_pre, 12), None
+
+            lc_pre, _ = jax.lax.scan(outer, lc_pre, None, length=_PAR_OUTERS - 1)
+            _, p_fin = chain(lc_pre)
+            valid = jnp.all(jnp.where(pad[:, None], 1.0, lc_pre) > 0)
+        else:
+            lc_pre = lhp
+            _, p_fin = chain(lc_pre)
+            valid = jnp.asarray(True)
+        nc = p_fin.sum(axis=1)
+
+        # ---- post-split correction (padded; T=0 rows are exact no-ops) ----
+        tq_safe = jnp.where(tq == 0, 1.0, tq)
+        if cpfit:
+            def post_body(nc_c, inp):
+                lh_t, T_t, Ts = inp
+                pnc = (
+                    jnp.exp(-T_t * lh_t[0])
+                    + jnp.exp(nc_c[1] - nc_c[0] - T_t * lh_t[1])
+                ) / (1.0 + jnp.exp(nc_c[1] - nc_c[0]))
+                lam = jnp.where(T_t == 0, 1.0, -jnp.log(pnc) / Ts)
+                lc_t = jnp.stack([lam, lam])
+                return nc_c - T_t * lc_t, lc_t
+
+            nc_fin, lc_post = jax.lax.scan(post_body, nc, (lhq, tq, tq_safe))
+        else:
+            fit_b = jax.vmap(kc.fit_single_pop)
+
+            def post_outer(lc_post, _):
+                dec = tq[:, None] * lc_post
+                csum = jnp.cumsum(dec, axis=0)
+                nc_t = nc[None, :] - jnp.concatenate(
+                    [jnp.zeros((1, 2), dec.dtype), csum[:-1]], axis=0
+                )
+                lam = fit_b(lhq, tq_safe, jnp.exp(nc_t))
+                lam = jnp.where(tq == 0, 1.0, lam)
+                return jnp.stack([lam, lam], axis=-1), None
+
+            lc0 = jnp.broadcast_to(lhq.mean(axis=1, keepdims=True), lhq.shape)
+            lc_post, _ = jax.lax.scan(post_outer, lc0, None, length=_PAR_OUTERS)
+            nc_fin = nc - jnp.sum(tq[:, None] * lc_post, axis=0)
+
+        pr0 = jnp.exp(nc_fin[0])
+        pr1 = jnp.exp(nc_fin[1])
+        lam_last = (pr0 + pr1) / (pr0 / lh_last[0] + pr1 / lh_last[1])
+
+        if smooth:
+            w = take(smooth_ws)  # (2, s_max, s_max)
+            lc_pre = jnp.stack([w[0] @ lc_pre[:, 0], w[1] @ lc_pre[:, 1]],
+                               axis=1)
+
+        # ---- spectrum (padded) ----
+        p0 = jnp.zeros(44, dtype=lc_pre.dtype).at[2].set(1.0)
+
+        def pre_body(p, inp):
+            lc_t, T_t, mi_t, pu_t, is_t, cm = inp
+            p = jnp.where(is_t, ancient @ p, p)
+            p = ss.pulse_operator(pu_t[0], 0, b2) @ p
+            p = ss.pulse_operator(pu_t[1], 1, b2) @ p
+            m = ss.two_pop_matrix(lc_t[0], lc_t[1], mi_t[0], mi_t[1], b2)
+            e, n1 = expm_and_integral(m, T_t)
+            return e @ p, cm * ((n1 @ p) @ jsfs2)
+
+        p0, jafs_pre = jax.lax.scan(
+            pre_body, p0, (lc_pre, tp, mi_pre, pu_pre, is_s, cmask)
+        )
+        # ancient rebase exactly at the split (sd == st)
+        st_val = jnp.take(jnp.asarray(splits), st_idx)
+        p0 = jnp.where(sd == st_val, ancient @ p0, p0)
+        p8 = collapse @ p0
+
+        def post_spec(p, inp):
+            lc_t, T_t = inp
+            m = ss.one_pop_matrix(lc_t[0], b1)
+            e, n1 = expm_and_integral(m, T_t)
+            return e @ p, (n1 @ p) @ jsfs1
+
+        p8, jafs_post = jax.lax.scan(post_spec, p8, (lc_post, tq))
+
+        m_last = ss.one_pop_matrix(lam_last, b1)
+        occ_last = jnp.linalg.solve(m_last, -p8)
+        jafs_raw = jafs_pre.sum(0) + jafs_post.sum(0) + occ_last @ jsfs1
+
+        norm = jafs_raw.sum()
+        jafs = jafs_raw / norm
+        n = data7.sum()
+        if unfolded:
+            cats, dat = jafs, data7
+            const = jax.scipy.special.gammaln(n + 1) - jnp.sum(
+                jax.scipy.special.gammaln(data7 + 1)
+            )
+        else:
+            cats = jnp.stack([jafs[0] + jafs[6], jafs[1] + jafs[5],
+                              jafs[2] + jafs[4], jafs[3]])
+            dat = jnp.stack([data7[0] + data7[6], data7[1] + data7[5],
+                             data7[2] + data7[4], data7[3]])
+            const = jax.scipy.special.gammaln(n + 1) - jnp.sum(
+                jax.scipy.special.gammaln(dat + 1)
+            )
+        pos = jnp.all(cats > 0) & jnp.isfinite(norm) & (norm > 0)
+        llh = const + jnp.sum(dat * jnp.log(jnp.where(cats > 0, cats, 1.0)))
+        return jnp.where(nonneg & valid & pos, llh, -jnp.inf)
+
+    def fit_cell(st_idx, x0, data7, tol=1e-4):
+        res = nelder_mead(lambda p: -llh_fn(st_idx, p, data7), x0,
+                          xatol=tol, fatol=tol)
+        return res.x, -res.fun
+
+    return FusedSweep(
+        split_times=np.asarray(splits, float),
+        n_params=n_par,
+        init_params=specs[0].init_params,
+        llh=llh_fn,
+        fit_cell=fit_cell,
+    )

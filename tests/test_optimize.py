@@ -74,10 +74,10 @@ def test_solve_batch_lockstep():
     )
     lik = build_likelihood(spec)
     # NB: starts must be in the finite-llh region -- from a start whose whole
-    # initial simplex has llh = -inf (e.g. x0 = 1.5 here, where the lambda
+    # initial simplex has llh = -inf (e.g. x0 >= ~0.9 here, where the lambda
     # correction fails), Nelder-Mead shrinks in place forever, exactly like
     # scipy on an all-inf simplex.
-    res = solve_batch(lik, np.array([[0.5], [0.1], [0.9]]), tol=1e-4)
+    res = solve_batch(lik, np.array([[0.5], [0.1], [0.35]]), tol=1e-4)
     # all starts converge to the same boundary optimum (x -> 0); with a
     # nonzero gradient at the boundary, xatol=1e-4 termination leaves an
     # O(grad * xatol) spread in the objective

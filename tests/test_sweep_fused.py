@@ -1,0 +1,78 @@
+"""Fused sweep (split time as data index) vs per-split likelihoods."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from misti_tpu.engine.likelihood import build_likelihood
+from misti_tpu.engine.spec import build_spec
+from misti_tpu.engine.sweep_fused import build_fused_sweep
+
+
+def _toy(numT=12):
+    grid = 0.015 * (1.14 ** np.arange(numT)) - 0.015
+    times = list(np.diff(grid))
+    tt = np.cumsum([0.0] + times)
+    lams = np.stack(
+        [1.0 + 0.3 * np.sin(tt * 11.0), 1.1 + 0.25 * np.cos(tt * 7.0)], axis=1
+    )
+    return times, [list(v) for v in lams]
+
+
+def test_fused_matches_per_split():
+    times, lams = _toy()
+    splits = [4, 7]
+    data = np.array([3000.0, 800, 2900, 1500, 1200, 850, 1250])
+    fused = build_fused_sweep(
+        times, lams, splits, [[1, 0, "ST", 0.25, 1]], [],
+        cpfit=True, smooth=True, unfolded=True,
+    )
+    fused_llh = jax.jit(fused.llh)
+    for i, st in enumerate(splits):
+        spec = build_spec(
+            times, lams, [0.0, *data], st, [[1, 0, st, 0.25, 1]], [],
+            cpfit=True, smooth=True, unfolded=True,
+        )
+        lik = build_likelihood(spec, sequential=False)
+        for rate in (0.25, 0.6):
+            a = float(fused_llh(i, np.array([rate]), data))
+            b = float(lik.llh_data(np.array([rate]), jnp.asarray(data)))
+            np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-6,
+                                       err_msg=f"st={st} rate={rate}")
+
+
+def test_fused_coaltime_mode_matches():
+    """Non-cpfit (expected-coalescence-time) mode through the fused path."""
+    times, lams = _toy()
+    data = np.array([3000.0, 800, 2900, 1500, 1200, 850, 1250])
+    fused = build_fused_sweep(
+        times, lams, [5], [[1, 0, "ST", 0.2, 1]], [],
+        cpfit=False, smooth=False, unfolded=True,
+    )
+    spec = build_spec(times, lams, [0.0, *data], 5, [[1, 0, 5, 0.2, 1]], [],
+                      cpfit=False, smooth=False, unfolded=True)
+    lik = build_likelihood(spec, sequential=False)
+    a = float(jax.jit(fused.llh)(0, np.array([0.2]), data))
+    b = float(lik.llh_data(np.array([0.2]), jnp.asarray(data)))
+    np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-6)
+
+
+def test_fused_vmaps_over_grid():
+    times, lams = _toy()
+    splits = [4, 6]
+    fused = build_fused_sweep(
+        times, lams, splits, [[1, 0, "ST", 0.25, 1]], [],
+        cpfit=True, smooth=False, unfolded=True,
+    )
+    rng = np.random.default_rng(0)
+    data = np.abs(rng.normal(2000, 300, size=(3, 7)))
+    st_idx, b_idx = np.meshgrid(np.arange(2), np.arange(3), indexing="ij")
+    grid_llh = jax.jit(jax.vmap(fused.llh, in_axes=(0, None, 0)))
+    out = grid_llh(
+        jnp.asarray(st_idx.ravel()),
+        np.array([0.3]),
+        jnp.asarray(data[b_idx.ravel()]),
+    )
+    assert out.shape == (6,)
+    assert np.all(np.isfinite(np.asarray(out)))
