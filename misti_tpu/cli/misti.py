@@ -141,6 +141,23 @@ def main(argv=None) -> int:
     sol = solve(lik, clargs.tol)
     print(sol)
 
+    if clargs.debug and np.isfinite(sol[1]):
+        # expected vs empirical spectrum + neutral-mass sanity prints
+        # (reference MigrationInference.py:585-597)
+        _, aux = lik.llh_aux(np.asarray(sol[0]))
+        j = np.asarray(aux["jafs"])
+        d = spec.data_jafs / spec.data_jafs.sum()
+        print("----------", j[0], j[1], sep="\t\t")
+        print(j[2], j[3], j[4], sep="\t\t")
+        print(j[5], j[6], "----------", sep="\t\t")
+        print("----------", d[0], d[1], sep="\t\t")
+        print(d[2], d[3], d[4], sep="\t\t")
+        print(d[5], d[6], "----------", sep="\t\t")
+        hn = 1 + 1 / 2 + 1 / 3
+        print("singletons", j[0] + j[2], 1 / hn)
+        print("doubletons", j[1] + j[3] + j[5], 1 / (2 * hn))
+        print("tripletons", j[4] + j[6], 1 / (3 * hn))
+
     print("\nParameter estimates:")
     mig_fixed = [float(el[3]) for el in mi if int(el[4]) == 0]
     fixed_str = (
