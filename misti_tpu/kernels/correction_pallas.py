@@ -1,0 +1,597 @@
+"""Fused pre-split correction sweep: one Pallas TPU kernel per likelihood.
+
+The corrected likelihood spends >99% of its TPU time in the lambda-correction
+sweep (reference ``CorrectLambdas``, MigrationInference.py:305-354): per
+pre-split interval a 2-unknown nonlinear solve whose residuals are built from
+3x3 matrix exponentials (CorrectLambda.py:266-317).  The XLA formulation
+(engine/likelihood.py `correct_sweep`) already recasts the sequential chain
+as a Jacobi fixed point with batched Levenberg-Marquardt inner solves, but on
+TPU it is dispatch-bound: thousands of (B, 3, 3)-shaped HLO ops, each moving
+a few KB, dominate wall-clock.
+
+This module fuses the ENTIRE sweep -- chain propagation, all Jacobi outer
+rounds and every LM iteration -- into a single Pallas kernel that runs on the
+VPU with
+
+  * lanes   = optimiser candidates (last dim, 128-wide blocks),
+  * sublanes = pre-split time intervals (second-to-last dim),
+  * all 3x3 matrix algebra unrolled into register-resident elementwise ops
+    (a 3x3 matmul is 27 FMAs over (intervals, lanes) vectors),
+  * the per-round chain (p0 propagated through earlier intervals) computed
+    as a Hillis-Steele ordered product scan over the sublane axis
+    (log2(s) shifted 3x3 matmuls instead of s sequential steps).
+
+The same traced body also runs as plain XLA ops (``mode='xla'``) -- used on
+CPU, for f64 validation against the reference-shaped solvers, and as a
+fallback -- and under the Pallas interpreter (``interpret=True``) in tests.
+
+Numerics follow kernels/correction.py `solve_lambda_system` exactly: the
+T -> 1 stretch preconditioning, the near-identical-state merge, the
+no-migration closed form (cpfit) / bounded LM (coal-time), the mixture
+threshold bail-out, and the damped trust-region LM schedule are the same
+arithmetic, so the fixed point matches the sequential reference sweep
+(CorrectLambda.py:266-317) to solver tolerance.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_PREC = 1e-10  # reference `prec` (CorrectLambda.py): no-migration threshold
+_NORM_EPS = 0.02  # reference `normEps`: near-identical-state merge
+
+# 3x3 matrices are flat row-major 9-tuples of (intervals, lanes) arrays.
+_EYE = (1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+
+
+def _m3_mul(a, b):
+    """27-FMA elementwise 3x3 matmul over (intervals, lanes) entry arrays."""
+    return tuple(
+        a[3 * i + 0] * b[0 + j] + a[3 * i + 1] * b[3 + j] + a[3 * i + 2] * b[6 + j]
+        for i in range(3)
+        for j in range(3)
+    )
+
+
+def _m3_select(c, a, b):
+    return tuple(jnp.where(c, x, y) for x, y in zip(a, b))
+
+
+def _m3_onenorm(a):
+    colsum = [abs(a[0 + j]) + abs(a[3 + j]) + abs(a[6 + j]) for j in range(3)]
+    return jnp.maximum(jnp.maximum(colsum[0], colsum[1]), colsum[2])
+
+
+def _corr_mat(l0, l1, m0, m1):
+    """3x3 two-lineage location generator (reference CorrectLambda.py:55-56)."""
+    z = jnp.zeros_like(l0)
+    return (
+        -2.0 * m0 - l0, z, m1,
+        z, -2.0 * m1 - l1, m0,
+        2.0 * m0, 2.0 * m1, -m0 - m1,
+    )
+
+
+def _scaling(a, max_squarings):
+    """Per-lane squaring count + scaled matrix (same rule as kernels/expm.py)."""
+    norm = _m3_onenorm(a)
+    s = jnp.maximum(0.0, jnp.ceil(jnp.log2(jnp.maximum(norm, 1e-30))))
+    s = jnp.where(jnp.isfinite(norm) & (norm > 0), s, 0.0)
+    s = jnp.minimum(s, float(max_squarings))
+    scale = jnp.exp2(-s)
+    return tuple(x * scale for x in a), s, scale
+
+
+def _ps_powers(b):
+    """Paterson-Stockmeyer powers I, b, ..., b^6."""
+    p = [_EYE_like(b[0]), b]
+    for _ in range(5):
+        p.append(_m3_mul(p[-1], b))
+    return p
+
+
+def _EYE_like(x):
+    one = jnp.ones_like(x)
+    zero = jnp.zeros_like(x)
+    return (one, zero, zero, zero, one, zero, zero, zero, one)
+
+
+def _ps_horner(p, coeffs):
+    """sum_k coeffs[k] * b^k (k <= 18) in base b^6: 2 extra matmuls."""
+
+    def blk(k0):
+        out = tuple(coeffs[k0] * e for e in p[0])
+        for j in range(1, 6):
+            if k0 + j < len(coeffs):
+                out = tuple(o + coeffs[k0 + j] * e for o, e in zip(out, p[j]))
+        return out
+
+    b2 = blk(12)
+    if len(coeffs) > 18:
+        b2 = tuple(o + coeffs[18] * e for o, e in zip(b2, p[6]))
+    inner = tuple(x + y for x, y in zip(blk(6), _m3_mul(p[6], b2)))
+    return tuple(x + y for x, y in zip(blk(0), _m3_mul(p[6], inner)))
+
+
+_CE = [1.0 / math.factorial(k) for k in range(19)]
+_C1 = [1.0 / math.factorial(k + 1) for k in range(19)]
+_C2 = [1.0 / math.factorial(k + 2) for k in range(19)]
+
+
+def _expm3(a, max_squarings=14):
+    """Elementwise scaling-and-squaring Taylor-18 expm of a 3x3 entry-tuple."""
+    b, s, _ = _scaling(a, max_squarings)
+    e = _ps_horner(_ps_powers(b), _CE)
+    for i in range(max_squarings):
+        e = _m3_select(float(i) < s, _m3_mul(e, e), e)
+    return e
+
+
+def _expm3_moment(a, max_squarings=14):
+    """(E, K) of the stretched (t=1) generator: E = e^a, K = int_0^1 s e^{as} ds.
+
+    Same quantities as kernels/expm.py `expm_integral_moment(m, 1.0)` (used by
+    the expected-coalescence-time residual, CorrectLambda.py:94-110) but via
+    the phi-function identities K(h) = h^2 (phi1 - phi2)(a h) and the interval
+    doublings  K(2h) = K + E (K + h N1),  N1(2h) = N1 + E N1,  E(2h) = E^2 --
+    no 9x9 augmented matrix, everything stays 3x3 elementwise.
+    """
+    b, s, scale = _scaling(a, max_squarings)
+    p = _ps_powers(b)
+    e = _ps_horner(p, _CE)
+    phi1 = _ps_horner(p, _C1)
+    phi2 = _ps_horner(p, _C2)
+    h = scale  # current accumulated interval length (starts at 2^-s, ends at 1)
+    n1 = tuple(h * x for x in phi1)
+    k = tuple(h * h * (x - y) for x, y in zip(phi1, phi2))
+    for i in range(max_squarings):
+        live = float(i) < s
+        tmp = tuple(kk + h * nn for kk, nn in zip(k, n1))
+        kn = tuple(x + y for x, y in zip(k, _m3_mul(e, tmp)))
+        n1n = tuple(x + y for x, y in zip(n1, _m3_mul(e, n1)))
+        en = _m3_mul(e, e)
+        k = _m3_select(live, kn, k)
+        n1 = _m3_select(live, n1n, n1)
+        e = _m3_select(live, en, e)
+        h = jnp.where(live, 2.0 * h, h)
+    return e, k
+
+
+def _pulse_cols(q0, q1, q2, rate, pop):
+    """Pulse-migration map on a location-distribution column (q_p, q_q, q_split)
+    (MigrationInference.py:315-323; identity at rate == 0)."""
+    if pop == 0:
+        qp, qq = q0, q1
+    else:
+        qp, qq = q1, q0
+    np_ = qp * (1.0 - rate) ** 2
+    nq = qp * rate**2 + qq + q2 * rate
+    n2 = qp * 2.0 * (1.0 - rate) * rate + q2 * (1.0 - rate)
+    return (np_, nq, n2) if pop == 0 else (nq, np_, n2)
+
+
+def _ect_conditional(lam, guard=100.0):
+    """E[coal time | coal in (0,1)] (stretched units; CorrectLambda.py:67-77)."""
+    hot = lam > guard
+    tail = jnp.where(hot, 0.0, 1.0 / jnp.expm1(jnp.where(hot, 1.0, lam)))
+    return 1.0 / lam - tail
+
+
+def _ect_nonconditional(lam):
+    return (1.0 - jnp.exp(-lam) * (1.0 + lam)) / lam
+
+
+def _lm2(res_fn, x0, x1, n_iters, lower0, lower1):
+    """Fixed-iteration 2-unknown Levenberg-Marquardt on (intervals, lanes)
+    arrays; identical schedule to kernels/correction.py `_lm` (damp 1e-3 start,
+    x0.25/x4 update, trust-region step clip, masked accept/convergence)."""
+
+    def clip(a0, a1):
+        return jnp.maximum(a0, lower0), jnp.maximum(a1, lower1)
+
+    def cost(a0, a1):
+        r0, r1 = res_fn(a0, a1)
+        return r0 * r0 + r1 * r1
+
+    def body(i, st):
+        x0_, x1_, damp, trust, c, done = st
+        one = jnp.ones_like(x0_)
+        zero = jnp.zeros_like(x0_)
+        (r0, r1), (j00, j10) = jax.jvp(res_fn, (x0_, x1_), (one, zero))
+        _, (j01, j11) = jax.jvp(res_fn, (x0_, x1_), (zero, one))
+        a00 = j00 * j00 + j10 * j10 + damp
+        a01 = j00 * j01 + j10 * j11
+        a11 = j01 * j01 + j11 * j11 + damp
+        g0 = j00 * r0 + j10 * r1
+        g1 = j01 * r0 + j11 * r1
+        det = a00 * a11 - a01 * a01
+        det = jnp.where(det == 0, 1.0, det)
+        d0 = (a01 * g1 - a11 * g0) / det
+        d1 = (a01 * g0 - a00 * g1) / det
+        dn = jnp.sqrt(d0 * d0 + d1 * d1)
+        shrink = jnp.minimum(1.0, trust / jnp.maximum(dn, 1e-30))
+        d0 = d0 * shrink
+        d1 = d1 * shrink
+        xn0, xn1 = clip(x0_ + d0, x1_ + d1)
+        cn = cost(xn0, xn1)
+        ok = jnp.isfinite(cn) & (cn < c) & ~done
+        step = jnp.where(
+            ok, jnp.sqrt((xn0 - x0_) ** 2 + (xn1 - x1_) ** 2), jnp.inf
+        )
+        x0_ = jnp.where(ok, xn0, x0_)
+        x1_ = jnp.where(ok, xn1, x1_)
+        c = jnp.where(ok, cn, c)
+        damp = jnp.where(
+            done, damp,
+            jnp.clip(jnp.where(ok, damp * 0.25, damp * 4.0), 1e-14, 1e10),
+        )
+        trust = jnp.where(
+            done, trust,
+            jnp.clip(jnp.where(ok, trust * 2.0, trust * 0.5), 1e-8, 1e3),
+        )
+        done = done | (c < 1e-28) | (
+            step < 1e-13 * (1.0 + jnp.sqrt(x0_ * x0_ + x1_ * x1_))
+        )
+        return (x0_, x1_, damp, trust, c, done)
+
+    x0, x1 = clip(x0, x1)
+    trust0 = jnp.maximum(jnp.sqrt(x0 * x0 + x1 * x1), 1.0)
+    st = (
+        x0, x1,
+        jnp.full_like(x0, 1e-3),
+        trust0,
+        cost(x0, x1),
+        jnp.zeros(x0.shape, bool),
+    )
+    st = jax.lax.fori_loop(0, n_iters, body, st)
+    return st[0], st[1]
+
+
+def _sweep_body(
+    T, lh0, lh1, mi0, mi1, pu0, pu1,
+    *,
+    cpfit: bool,
+    mixture_th: float,
+    static_no_mig: bool,
+    has_pulse: bool,
+    rounds: int,
+    iters0: int,
+    iters_warm: int,
+    shift_fn,
+    n_rows: int,
+):
+    """The fused sweep on (intervals, lanes) arrays.
+
+    Pure jnp: traced identically under XLA (CPU / fallback), the Pallas
+    interpreter, and Mosaic.  Returns (lc0, lc1, p_after 6-tuple) where
+    p_after[t] is the per-genome location distribution after interval t
+    (reference ``p0`` after `SolveLambdaSystem` propagation).
+    """
+    dtype = T.dtype
+    mu0s = mi0 * T
+    mu1s = mi1 * T
+    lh_raw_s0 = lh0 * T
+    lh_raw_s1 = lh1 * T
+    no_mig = (mi0 + mi1) < _PREC
+
+    # Hillis-Steele ordered product over the interval (sublane) axis:
+    # C_t = G_t @ ... @ G_0 after ceil(log2(s)) shifted matmul steps.
+    def _chain_products(g):
+        c = g
+        d = 1
+        while d < n_rows:
+            shifted = shift_fn(c, d, _EYE)
+            c = _m3_mul(c, shifted)
+            d *= 2
+        return c
+
+    def _chain(x0s, x1s):
+        """p entering each solve + p after each interval, for STRETCHED rate
+        guesses (x0s, x1s) (engine/likelihood.py `_chain` semantics: the
+        propagator expm(M(lc, mu) T) == expm(M(lc*T, mu*T)) by linearity of
+        the generator in its rates)."""
+        e = _expm3(_corr_mat(x0s, x1s, mu0s, mu1s), max_squarings=20)
+        if has_pulse:
+            # pulses act on the state BEFORE the exponential (column
+            # convention q_out = E PU1 PU0 q_in): materialise P = PU1 @ PU0
+            # by pushing the canonical basis through the pulse maps.
+            p_cols = []
+            for j in range(3):
+                basis = [jnp.full_like(x0s, 1.0 if i == j else 0.0) for i in range(3)]
+                q = _pulse_cols(basis[0], basis[1], basis[2], pu0, 0)
+                q = _pulse_cols(q[0], q[1], q[2], pu1, 1)
+                p_cols.append(q)
+            pmat = tuple(p_cols[j][i] for i in range(3) for j in range(3))
+            g = _m3_mul(e, pmat)
+        else:
+            g = e
+        c = _chain_products(g)
+        s_excl = shift_fn(c, 1, _EYE)  # C_{t-1}, identity at t == 0
+        # p entering the solve: pulses applied to the interval-entry state
+        def col(m, j):
+            return (m[0 + j], m[3 + j], m[6 + j])
+
+        if has_pulse:
+            p_in = []
+            for gidx in range(2):
+                q = col(s_excl, gidx)
+                q = _pulse_cols(q[0], q[1], q[2], pu0, 0)
+                q = _pulse_cols(q[0], q[1], q[2], pu1, 1)
+                p_in.append(q)
+        else:
+            p_in = [col(s_excl, 0), col(s_excl, 1)]
+        p_after = (col(c, 0), col(c, 1))
+        return p_in, p_after
+
+    def _solve_round(p_in, x0_init, x1_init, n_iters):
+        """One batched LM round from warm start (stretched units), per-lane
+        branch selection exactly as kernels/correction.py solve_lambda_system."""
+        p00, p01, p02 = p_in[0]
+        p10, p11, p12 = p_in[1]
+        s0 = p00 + p01 + p02
+        s1 = p10 + p11 + p12
+        pn00, pn01, pn02 = p00 / s0, p01 / s0, p02 / s0
+        pn10, pn11, pn12 = p10 / s1, p11 / s1, p12 / s1
+        nv0 = jnp.sqrt(p00 * p00 + p01 * p01 + p02 * p02)
+        nv1 = jnp.sqrt(p10 * p10 + p11 * p11 + p12 * p12)
+        nd = jnp.sqrt((p00 - p10) ** 2 + (p01 - p11) ** 2 + (p02 - p12) ** 2)
+        merge = nd < _NORM_EPS * jnp.minimum(nv0, nv1)
+        lh_mid = 0.5 * (lh0 + lh1) * T
+        lh_s0 = jnp.where(merge, lh_mid, lh_raw_s0)
+        lh_s1 = jnp.where(merge, lh_mid, lh_raw_s1)
+
+        neg_inf = jnp.asarray(-jnp.inf, dtype)
+
+        def res_general(a0, a1):
+            if cpfit:
+                e = _expm3(_corr_mat(a0, a1, mu0s, mu1s), max_squarings=14)
+                cs = [e[0 + j] + e[3 + j] + e[6 + j] for j in range(3)]
+                r0 = cs[0] * p00 + cs[1] * p01 + cs[2] * p02 - jnp.exp(-lh_s0) * s0
+                r1 = cs[0] * p10 + cs[1] * p11 + cs[2] * p12 - jnp.exp(-lh_s1) * s1
+                return r0, r1
+            e, k = _expm3_moment(_corr_mat(a0, a1, mu0s, mu1s), max_squarings=14)
+            cs = [e[0 + j] + e[3 + j] + e[6 + j] for j in range(3)]
+            pnc0 = cs[0] * pn00 + cs[1] * pn01 + cs[2] * pn02
+            pnc1 = cs[0] * pn10 + cs[1] * pn11 + cs[2] * pn12
+            kp00 = k[0] * pn00 + k[1] * pn01 + k[2] * pn02
+            kp01 = k[3] * pn00 + k[4] * pn01 + k[5] * pn02
+            kp10 = k[0] * pn10 + k[1] * pn11 + k[2] * pn12
+            kp11 = k[3] * pn10 + k[4] * pn11 + k[5] * pn12
+            t2_0 = (a0 * kp00 + a1 * kp01) / (1.0 - pnc0)
+            t2_1 = (a0 * kp10 + a1 * kp11) / (1.0 - pnc1)
+            return t2_0 - _ect_conditional(lh_s0), t2_1 - _ect_conditional(lh_s1)
+
+        def res_nomig(a0, a1):
+            pnc0 = pn00 * jnp.exp(-a0) + pn01 * jnp.exp(-a1) + pn02
+            pnc1 = pn10 * jnp.exp(-a0) + pn11 * jnp.exp(-a1) + pn12
+            e0 = _ect_nonconditional(a0)
+            e1 = _ect_nonconditional(a1)
+            ct0 = (pn00 * e0 + pn01 * e1) / (1.0 - pnc0)
+            ct1 = (pn10 * e0 + pn11 * e1) / (1.0 - pnc1)
+            return ct0 - _ect_conditional(lh_raw_s0), ct1 - _ect_conditional(lh_raw_s1)
+
+        if cpfit:
+            # no-migration closed form (CorrectLambda.py:213-235), unstretched
+            a1c, a2c, c1c = pn00, pn01, pn02
+            a3c, a4c, c2c = pn10, pn11, pn12
+            det = a1c * a4c - a2c * a3c
+            det = jnp.where(det == 0, 1.0, det)
+            xx1 = jnp.exp(-lh0 * T) - c1c
+            xx2 = jnp.exp(-lh1 * T) - c2c
+            y1 = (a4c * xx1 - a2c * xx2) / det
+            y2 = (-a3c * xx1 + a1c * xx2) / det
+            good = (y1 > 0) & (y2 > 0)
+            lc_nm0 = jnp.where(good, -jnp.log(jnp.where(good, y1, 1.0)) / T, -1.0)
+            lc_nm1 = jnp.where(good, -jnp.log(jnp.where(good, y2, 1.0)) / T, -1.0)
+            if static_no_mig:
+                lc0, lc1 = lc_nm0, lc_nm1
+            else:
+                xg0, xg1 = _lm2(res_general, x0_init, x1_init, n_iters,
+                                neg_inf, neg_inf)
+                lc0 = jnp.where(no_mig, lc_nm0, xg0 / T)
+                lc1 = jnp.where(no_mig, lc_nm1, xg1 / T)
+        else:
+            lower_nm = 0.01 * jnp.minimum(lh_raw_s0, lh_raw_s1)
+            if static_no_mig:
+                x0_, x1_ = _lm2(res_nomig, x0_init, x1_init, n_iters,
+                                lower_nm, lower_nm)
+                lc0, lc1 = x0_ / T, x1_ / T
+            else:
+                # one combined LM: per-lane residual/bound selection gives
+                # each lane exactly its branch's LM trajectory
+                def res(a0, a1):
+                    g0, g1 = res_general(a0, a1)
+                    n0, n1_ = res_nomig(a0, a1)
+                    return (jnp.where(no_mig, n0, g0),
+                            jnp.where(no_mig, n1_, g1))
+
+                lo = jnp.where(no_mig, lower_nm, neg_inf)
+                x0_, x1_ = _lm2(res, x0_init, x1_init, n_iters, lo, lo)
+                lc0, lc1 = x0_ / T, x1_ / T
+
+        if mixture_th > 0.0:
+            mix = jnp.sqrt(
+                (pn00 - pn10) ** 2 + (pn01 - pn11) ** 2 + (pn02 - pn12) ** 2
+            )
+            bail = mix < mixture_th
+            lc0 = jnp.where(bail, -1.0, lc0)
+            lc1 = jnp.where(bail, -1.0, lc1)
+        return lc0, lc1
+
+    # Jacobi outer rounds: chain from the current guesses, re-solve every
+    # interval from warm starts.  Round 0 starts from the PSMC rates with the
+    # full LM budget; later rounds contract quadratically on a short budget.
+    x0 = lh_raw_s0
+    x1 = lh_raw_s1
+    for r in range(rounds):
+        p_in, _ = _chain(x0, x1)
+        lc0, lc1 = _solve_round(p_in, x0, x1, iters0 if r == 0 else iters_warm)
+        x0 = lc0 * T
+        x1 = lc1 * T
+    _, p_after = _chain(x0, x1)
+    return lc0, lc1, p_after[0] + p_after[1]  # 6-tuple
+
+
+def _shift_down_xla(m3, d, fill):
+    """Row shift on the interval axis: out[t] = in[t-d], fill for t < d."""
+    out = []
+    for x, f in zip(m3, fill):
+        fblock = jnp.full_like(x[:d], f)
+        out.append(jnp.concatenate([fblock, x[:-d]], axis=0))
+    return tuple(out)
+
+
+def _shift_down_pallas(m3, d, fill):
+    from jax.experimental.pallas import tpu as pltpu
+
+    out = []
+    rows = None
+    for x, f in zip(m3, fill):
+        rolled = pltpu.roll(x, shift=d, axis=0)
+        if rows is None:
+            rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+        out.append(jnp.where(rows >= d, rolled, f))
+    return tuple(out)
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def build_fused_correction(
+    lh: np.ndarray,  # (s, 2) PSMC mixed rates, pre-split intervals
+    times: np.ndarray,  # (s,) interval lengths
+    *,
+    cpfit: bool,
+    mixture_th: float = 0.0,
+    static_no_mig: bool = False,
+    has_pulse: bool = True,
+    rounds: int = 6,
+    iters0: int = 48,
+    iters_warm: int = 12,
+    mode: str = "pallas",  # "pallas" | "xla"
+    interpret: bool = False,
+    lane_block: int = 128,
+):
+    """Build the fused sweep: f(mi, pu) with mi, pu (B, s, 2) returning
+    (lc (B, s, 2), p_after (B, s, 2, 3)).
+
+    The returned function carries a `jax.custom_vmap` rule that flattens any
+    additional vmap axes into the lane dimension, so nesting it under
+    optimiser/bootstrap vmaps dispatches ONE wide kernel instead of many
+    narrow ones.
+    """
+    s = int(len(times))
+    lh = np.asarray(lh, float)
+    times = np.asarray(times, float)
+    static = dict(
+        cpfit=cpfit,
+        mixture_th=float(mixture_th),
+        static_no_mig=static_no_mig,
+        has_pulse=has_pulse,
+        rounds=rounds,
+        iters0=iters0,
+        iters_warm=iters_warm,
+    )
+
+    def _impl(mi, pu):
+        dtype = jnp.result_type(float)
+        B = mi.shape[0]
+        # fields as (intervals, lanes)
+        Tf = jnp.broadcast_to(jnp.asarray(times, dtype)[:, None], (s, B))
+        lh0 = jnp.broadcast_to(jnp.asarray(lh[:, 0], dtype)[:, None], (s, B))
+        lh1 = jnp.broadcast_to(jnp.asarray(lh[:, 1], dtype)[:, None], (s, B))
+        mi0 = mi[..., 0].astype(dtype).T
+        mi1 = mi[..., 1].astype(dtype).T
+        pu0 = pu[..., 0].astype(dtype).T
+        pu1 = pu[..., 1].astype(dtype).T
+
+        if mode == "xla":
+            out = _sweep_body(
+                Tf, lh0, lh1, mi0, mi1, pu0, pu1,
+                shift_fn=_shift_down_xla, n_rows=s, **static,
+            )
+            lc0, lc1, pa = out[0], out[1], out[2]
+        else:
+            from jax.experimental import pallas as pl
+            from jax.experimental.pallas import tpu as pltpu
+
+            s_pad = _round_up(s, 8)
+            b_pad = _round_up(B, lane_block)
+
+            def pad(x, val):
+                return jnp.pad(
+                    x, ((0, s_pad - s), (0, b_pad - B)), constant_values=val
+                )
+
+            inp = jnp.stack(
+                [pad(Tf, 1.0), pad(lh0, 1.0), pad(lh1, 1.0),
+                 pad(mi0, 0.0), pad(mi1, 0.0), pad(pu0, 0.0), pad(pu1, 0.0)]
+            )
+
+            def kernel(in_ref, out_ref):
+                f = [in_ref[i] for i in range(7)]
+                lc0, lc1, pa = _sweep_body(
+                    f[0], f[1], f[2], f[3], f[4], f[5], f[6],
+                    shift_fn=_shift_down_pallas, n_rows=s_pad, **static,
+                )
+                out_ref[0] = lc0
+                out_ref[1] = lc1
+                for i in range(6):
+                    out_ref[2 + i] = pa[i]
+
+            grid = (b_pad // lane_block,)
+            out = pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((8, s_pad, b_pad), dtype),
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec(
+                        (7, s_pad, lane_block),
+                        lambda g: (0, 0, g),
+                        memory_space=pltpu.VMEM,
+                    )
+                ],
+                out_specs=pl.BlockSpec(
+                    (8, s_pad, lane_block),
+                    lambda g: (0, 0, g),
+                    memory_space=pltpu.VMEM,
+                ),
+                interpret=interpret,
+            )(inp)
+            lc0 = out[0, :s, :B]
+            lc1 = out[1, :s, :B]
+            pa = tuple(out[2 + i, :s, :B] for i in range(6))
+
+        lc = jnp.stack([lc0.T, lc1.T], axis=-1)  # (B, s, 2)
+        p_after = jnp.stack(
+            [jnp.stack([pa[0].T, pa[1].T, pa[2].T], axis=-1),
+             jnp.stack([pa[3].T, pa[4].T, pa[5].T], axis=-1)],
+            axis=-2,
+        )  # (B, s, 2, 3)
+        return lc, p_after
+
+    @jax.custom_batching.custom_vmap
+    def sweep(mi, pu):
+        return _impl(mi, pu)
+
+    @sweep.def_vmap
+    def _rule(axis_size, in_batched, mi, pu):
+        if not in_batched[0]:
+            mi = jnp.broadcast_to(mi[None], (axis_size,) + mi.shape)
+        if not in_batched[1]:
+            pu = jnp.broadcast_to(pu[None], (axis_size,) + pu.shape)
+        lead = mi.shape[:2]
+        lc, pa = sweep(
+            mi.reshape((-1,) + mi.shape[2:]), pu.reshape((-1,) + pu.shape[2:])
+        )
+        lc = lc.reshape(lead + lc.shape[1:])
+        pa = pa.reshape(lead + pa.shape[1:])
+        return (lc, pa), (True, True)
+
+    return sweep
