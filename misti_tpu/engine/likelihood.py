@@ -54,19 +54,43 @@ class Likelihood:
     llh_data: Callable = None  # (params, data7) -> llh, for bootstrap batching
 
 
-def build_likelihood(spec: ModelSpec, sequential: bool | None = None) -> Likelihood:
+def build_likelihood(
+    spec: ModelSpec,
+    sequential: bool | None = None,
+    correction_mode: str | None = None,
+) -> Likelihood:
     """Build the compiled likelihood for ``spec``.
 
-    ``sequential`` picks the correction-sweep strategy: True = the
-    reference-shaped sequential per-interval solve (best single-fit CPU
-    latency, early-exit inner loops); False = the Jacobi parallel fixed
-    point (best batched TPU throughput).  Default: sequential on the CPU
-    backend, parallel on accelerators.
+    ``correction_mode`` picks the correction-sweep strategy:
+
+    * ``"scan-seq"`` — reference-shaped sequential per-interval solve
+      (best single-fit CPU latency, early-exit inner loops);
+    * ``"scan-jacobi"`` — Jacobi parallel fixed point with per-interval
+      vmapped LM solves as plain XLA ops;
+    * ``"fused-pallas"`` — the whole sweep (chain + all Jacobi rounds +
+      every LM iteration) in ONE Pallas TPU kernel with lanes = candidates
+      (kernels/correction_pallas.py); best batched TPU throughput —
+      the scan strategies dispatch thousands of tiny (B, 3, 3) HLO ops;
+    * ``"fused-xla"`` / ``"fused-interpret"`` — the same fused trace as
+      plain XLA ops / under the Pallas interpreter (CPU validation).
+
+    Default: ``MISTI_CORRECTION`` env var if set, else ``scan-seq`` on the
+    CPU backend and ``fused-pallas`` on accelerators.  ``sequential`` is a
+    back-compat alias: True = ``scan-seq``, False = ``scan-jacobi``.
     """
+    import os as _os
+
     import jax as _jax
 
-    if sequential is None:
-        sequential = _jax.default_backend() == "cpu"
+    if correction_mode is None and sequential is not None:
+        correction_mode = "scan-seq" if sequential else "scan-jacobi"
+    if correction_mode is None:
+        correction_mode = _os.environ.get("MISTI_CORRECTION", "")
+    if not correction_mode:
+        correction_mode = (
+            "scan-seq" if _jax.default_backend() == "cpu" else "fused-pallas"
+        )
+    sequential = correction_mode == "scan-seq"
     b2 = ss.two_pop_basis()
     b1 = ss.one_pop_basis()
     s = spec.splitT
@@ -176,6 +200,22 @@ def build_likelihood(spec: ModelSpec, sequential: bool | None = None) -> Likelih
         valid = jnp.all(lc_pre > 0) if s > 0 else jnp.asarray(True)
         return lc_pre, pr, nc, valid
 
+    _fused_corr = None
+    if correction_mode.startswith("fused") and spec.correct and s > 0:
+        from ..kernels.correction_pallas import build_fused_correction
+
+        has_pulse = bool(n_pu) or bool(np.any(np.asarray(spec.pu_base)[:s] != 0))
+        _fused_corr = build_fused_correction(
+            lh[:s],
+            pre_T,
+            cpfit=spec.cpfit,
+            mixture_th=spec.mixture_th,
+            static_no_mig=static_no_mig,
+            has_pulse=has_pulse,
+            mode="xla" if correction_mode == "fused-xla" else "pallas",
+            interpret=correction_mode == "fused-interpret",
+        )
+
     def correct_sweep(mi, pu):
         p0 = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
         lh_pre = jnp.asarray(lh[:s])
@@ -195,6 +235,18 @@ def build_likelihood(spec: ModelSpec, sequential: bool | None = None) -> Likelih
             valid = jnp.asarray(True)
         elif sequential:
             lc_pre, pr, nc, valid = correct_sweep_sequential(mi, pu)
+        elif _fused_corr is not None:
+            # one fused kernel for the entire sweep; the custom_vmap rule on
+            # the kernel flattens optimiser/bootstrap vmap axes into lanes,
+            # so the [None] batch axis costs nothing under llh_batch.
+            lc3, pa3 = _fused_corr(mi[None, :s], pu[None, :s])
+            lc_pre = lc3[0]
+            p_after = pa3[0]  # (s, 2, 3)
+            pr = jnp.concatenate(
+                [p0.T[None], jnp.swapaxes(p_after, 1, 2)], axis=0
+            )
+            nc = p_after[-1].sum(axis=1)
+            valid = jnp.all(lc_pre > 0)
         else:
             def solve_batch(p_solver, x0, iters):
                 return jax.vmap(

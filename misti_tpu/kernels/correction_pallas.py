@@ -425,15 +425,22 @@ def _sweep_body(
 
     # Jacobi outer rounds: chain from the current guesses, re-solve every
     # interval from warm starts.  Round 0 starts from the PSMC rates with the
-    # full LM budget; later rounds contract quadratically on a short budget.
-    x0 = lh_raw_s0
-    x1 = lh_raw_s1
-    for r in range(rounds):
+    # full LM budget; later rounds contract quadratically on a short budget
+    # and run as ONE fori_loop round body (compile size stays O(1) in the
+    # round count instead of unrolling the whole sweep per round).
+    def _round(x0, x1, n_iters):
         p_in, _ = _chain(x0, x1)
-        lc0, lc1 = _solve_round(p_in, x0, x1, iters0 if r == 0 else iters_warm)
-        x0 = lc0 * T
-        x1 = lc1 * T
-    _, p_after = _chain(x0, x1)
+        lc0, lc1 = _solve_round(p_in, x0, x1, n_iters)
+        return lc0, lc1
+
+    lc0, lc1 = _round(lh_raw_s0, lh_raw_s1, iters0)
+
+    def warm(_, st):
+        lc0, lc1 = st
+        return _round(lc0 * T, lc1 * T, iters_warm)
+
+    lc0, lc1 = jax.lax.fori_loop(0, rounds - 1, warm, (lc0, lc1))
+    _, p_after = _chain(lc0 * T, lc1 * T)
     return lc0, lc1, p_after[0] + p_after[1]  # 6-tuple
 
 
