@@ -69,8 +69,18 @@ def main() -> int:
     batch = int(os.environ.get("MISTI_BENCH_BATCH", "256"))
     params = np.linspace(0.05, 1.2, batch)[:, None]
 
-    out = lik.llh_batch(params)  # compile
-    np.asarray(out)
+    try:
+        out = lik.llh_batch(params)  # compile
+        np.asarray(out)
+    except Exception as e:  # pragma: no cover - toolchain-dependent
+        # If the fused Pallas correction kernel fails to compile (Mosaic
+        # regressions are toolchain-version-dependent), fall back to the
+        # pure-XLA Jacobi sweep instead of failing the bench outright.
+        print(f"# fused kernel failed ({type(e).__name__}); "
+              "falling back to scan-jacobi", file=sys.stderr)
+        lik = build_likelihood(spec, correction_mode="scan-jacobi")
+        out = lik.llh_batch(params)
+        np.asarray(out)
     n_ok = int(np.isfinite(np.asarray(out)).sum())
 
     reps = 5

@@ -199,7 +199,12 @@ def _lm2(res_fn, x0, x1, n_iters, lower0, lower1):
         return r0 * r0 + r1 * r1
 
     def body(i, st):
+        # NB: `done` is carried as an f32 0/1 mask, not bool -- Mosaic fails
+        # to legalize scf.for loops whose carried state mixes i1 vectors with
+        # padded-layout f32 vectors (round-1 bench crash: "failed to legalize
+        # operation 'scf.for'").  All-f32 carries lower cleanly.
         x0_, x1_, damp, trust, c, done = st
+        doneb = done > 0.5
         one = jnp.ones_like(x0_)
         zero = jnp.zeros_like(x0_)
         (r0, r1), (j00, j10) = jax.jvp(res_fn, (x0_, x1_), (one, zero))
@@ -219,7 +224,7 @@ def _lm2(res_fn, x0, x1, n_iters, lower0, lower1):
         d1 = d1 * shrink
         xn0, xn1 = clip(x0_ + d0, x1_ + d1)
         cn = cost(xn0, xn1)
-        ok = jnp.isfinite(cn) & (cn < c) & ~done
+        ok = jnp.isfinite(cn) & (cn < c) & ~doneb
         step = jnp.where(
             ok, jnp.sqrt((xn0 - x0_) ** 2 + (xn1 - x1_) ** 2), jnp.inf
         )
@@ -227,16 +232,17 @@ def _lm2(res_fn, x0, x1, n_iters, lower0, lower1):
         x1_ = jnp.where(ok, xn1, x1_)
         c = jnp.where(ok, cn, c)
         damp = jnp.where(
-            done, damp,
+            doneb, damp,
             jnp.clip(jnp.where(ok, damp * 0.25, damp * 4.0), 1e-14, 1e10),
         )
         trust = jnp.where(
-            done, trust,
+            doneb, trust,
             jnp.clip(jnp.where(ok, trust * 2.0, trust * 0.5), 1e-8, 1e3),
         )
-        done = done | (c < 1e-28) | (
+        doneb = doneb | (c < 1e-28) | (
             step < 1e-13 * (1.0 + jnp.sqrt(x0_ * x0_ + x1_ * x1_))
         )
+        done = jnp.where(doneb, 1.0, 0.0).astype(x0_.dtype)
         return (x0_, x1_, damp, trust, c, done)
 
     x0, x1 = clip(x0, x1)
@@ -246,7 +252,7 @@ def _lm2(res_fn, x0, x1, n_iters, lower0, lower1):
         jnp.full_like(x0, 1e-3),
         trust0,
         cost(x0, x1),
-        jnp.zeros(x0.shape, bool),
+        jnp.zeros_like(x0),
     )
     st = jax.lax.fori_loop(0, n_iters, body, st)
     return st[0], st[1]
