@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from .data import InputData
 from .units import Units
-from .psmc_alt import PSMC
+from .psmc_alt import load_psmc_demography
 
 
 def read_psmc_file(fn: str, rd: int = -1):
@@ -125,16 +125,14 @@ def read_psmc(fn1: str, fn2: str, sample_date: float = 0.0, rd: int = -1) -> Inp
 
 def read_psmc1(fn1: str, fn2: str, rd: int = -1, divergence_time: float = -1) -> InputData:
     """psmcMode=1 reader (reference ReadPSMC1, migrationIO.py:297-340)."""
-    psmc = [PSMC(fn1, rd), PSMC(fn2, rd)]
     if Units.hetloss1 != 0.0 or Units.hetloss2 != 0.0:
         print("Hetloss is not implemented in this mode.")
     theta = Units.theta()
     scale_time = Units.scale_time()
 
-    collapsed = []
-    for s in range(2):
-        psmc[s].change_theta(theta)
-        collapsed.append(psmc[s].collapse_pattern())
+    demogs = [load_psmc_demography(fn1, rd).with_theta(theta),
+              load_psmc_demography(fn2, rd).with_theta(theta)]
+    collapsed = [d.group_starts() for d in demogs]
     if len(collapsed[0]) != len(collapsed[1]):
         raise ValueError("PSMC files have different pattern lengths.")
 
@@ -144,8 +142,7 @@ def read_psmc1(fn1: str, fn2: str, rd: int = -1, divergence_time: float = -1) ->
     tk = sorted(set(tk))
     div_id = -1 if divergence_time == -1 else tk.index(divergence_time / scale_time)
 
-    lk = [psmc[0].reestimate_coalescent_rates(tk),
-          psmc[1].reestimate_coalescent_rates(tk)]
+    lk = [demogs[0].regrid_rates(tk), demogs[1].regrid_rates(tk)]
     lk_pairs = [[u, v] for u, v in zip(lk[0], lk[1])]
     dt = [u - v for u, v in zip(tk[1:], tk[:-1])]
     return InputData(

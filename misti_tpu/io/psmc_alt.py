@@ -1,144 +1,159 @@
-"""Alternative PSMC reader with rate re-estimation (reference psmc.py).
+"""Pattern-aware PSMC demography model for the psmcMode=1 reader.
 
-Parses the psmc text format including the ``MM pattern:`` discretisation
-line, and re-estimates a constant coalescence rate per merged interval by
-time-weighted harmonic averaging; the open-ended last interval is fitted by
-matching the expected coalescence time (reference psmc.py:97-154).
-Host-side pure Python (runs once per fit on tiny inputs).
+Covers the same capability as the reference's alternative PSMC reader
+(psmc.py:25-163): parse a psmc output including its ``MM pattern:``
+discretisation, rescale to a common theta, and re-estimate one constant
+coalescence rate per merged-grid interval.  The implementation here is a
+functional, vectorised redesign rather than the reference's stateful
+index-walking loops:
+
+* the demography is an immutable ``PiecewiseDemography`` record; theta
+  rescaling returns a new record (reference mutates in place,
+  psmc.py:83-87);
+* per-interval overlaps with the PSMC segmentation are computed by numpy
+  interval clipping over ALL segments at once instead of a cursor walk
+  (reference psmc.py:97-118);
+* the open-ended last interval needs no iterative solver: the reference
+  fits lambda with scipy least_squares against ``ExpectedCoalTime(l, inf)``
+  (psmc.py:120-147), but that expectation is exactly ``l`` when the horizon
+  is infinite, so the fit has the closed form
+  ``lambda = E[T_coal | T_coal > t0] - t0``.
+
+Host-side pure Python/numpy; runs once per fit on tiny inputs.
 """
 
 from __future__ import annotations
 
-from math import exp, inf
+import dataclasses
 
-from scipy.optimize import least_squares
+import numpy as np
 
 
-class PSMC:
-    def __init__(self, input_file: str, rd: int = -1):
-        self.times: list = []
-        self.eps: list = []
-        self.pattern: list = []
-        self.theta = 0.0
-        self.rho = 0.0
-        self.rd = rd
-        if input_file:
-            self._read(input_file, rd)
+@dataclasses.dataclass(frozen=True)
+class PiecewiseDemography:
+    """A PSMC demography: piecewise-constant inverse coalescence rate.
 
-    def _read(self, fn: str, rd: int) -> None:
-        max_rd = -1
-        with open(fn) as f:
-            for line in f:
-                parts = line.split()
-                if parts and parts[0] == "RD":
-                    max_rd = int(parts[1])
-        if max_rd == -1:
-            raise ValueError(f"Corrupted or empty input file: {fn}")
-        if rd == -1 or rd > max_rd:
-            rd = max_rd
-        self.rd = rd
+    ``knots[k]`` is the start time of segment k (knots[0] == 0); segment k
+    spans [knots[k], knots[k+1]) with constant scaled size ``sizes[k]``
+    (the psmc RS lambda column; the hazard of pairwise coalescence on the
+    segment is 1/sizes[k]).  ``group_len`` is the psmc ``MM pattern``
+    expanded to per-group atomic-interval counts.
+    """
 
-        with open(fn) as f:
-            it = iter(f)
-            for line in it:
-                parts = line.split()
-                if not parts:
-                    continue
-                if parts[0] == "MM" and len(parts) > 1 and parts[1].startswith("pattern"):
-                    pat = parts[1][:-1].split(":")[1]
-                    for p in pat.split("+"):
-                        nums = [int(v) for v in p.split("*")]
-                        if len(nums) == 1:
-                            self.pattern.append(nums[0])
-                        else:
-                            self.pattern += [nums[1]] * nums[0]
-                if parts[0] != "RD" or int(parts[1]) != rd:
-                    continue
-                while parts[0] != "RS":
-                    if parts[0] == "TR":
-                        self.theta = float(parts[1])
-                        self.rho = float(parts[2])
-                    parts = next(it).split()
-                while parts[0] != "PA":
-                    if parts[0] != "RS":
-                        raise ValueError("Unexpected line in psmc file.")
-                    self.times.append(float(parts[2]))
-                    self.eps.append(float(parts[3]))
-                    parts = next(it).split()
-                break
+    knots: np.ndarray
+    sizes: np.ndarray
+    group_len: np.ndarray
+    theta: float
+    rho: float
+    em_round: int
 
-    def change_theta(self, theta: float) -> None:
-        self.times = [v * self.theta / theta for v in self.times]
-        self.eps = [v * self.theta / theta for v in self.eps]
-        self.rho = self.rho / self.theta * theta
-        self.theta = theta
-
-    def collapse_pattern(self) -> list:
-        times = []
-        counter = 0
-        for el in self.pattern:
-            times.append(self.times[counter])
-            counter += el
-        return times
-
-    def average_coalescent_rate(self, t1: float, t2: float) -> float:
-        """Time-weighted harmonic average of the EPS over [t1, t2)."""
-        if t1 > t2:
-            raise ValueError("t1 > t2")
-        times = self.times + [inf]
-        ci = 0
-        while times[ci] <= t1:
-            ci += 1
-        ci -= 1
-        av = 0.0
-        tt = 0.0
-        while ci < len(times) - 1 and times[ci] < t2:
-            tu = min(t2, times[ci + 1])
-            tl = max(t1, times[ci])
-            av += tu / self.eps[ci] - tl / self.eps[ci]
-            tt += tu - tl
-            ci += 1
-        return tt / av
-
-    def fit_coalescent_time(self, t1: float, t2: float) -> float:
-        """Fit a constant rate on the open-ended interval by matching the
-        conditional expected coalescence time (reference psmc.py:120-147)."""
-        if t1 > t2:
-            raise ValueError("t1 > t2")
-        times = self.times + [inf]
-        ci = 0
-        while times[ci] <= t1:
-            ci += 1
-        ci -= 1
-        pnc = 0.0
-        et = 0.0
-        tt = 0.0
-        while ci < len(times) - 1 and times[ci] < t2:
-            tu = min(t2, times[ci + 1])
-            tl = max(t1, times[ci])
-            ru = tu / self.eps[ci]
-            rl = tl / self.eps[ci]
-            vu = 0.0 if ru == inf else (ru + 1.0) * exp(rl - ru)
-            et += exp(pnc) * ((rl + 1.0) - vu) * self.eps[ci]
-            pnc -= ru - rl
-            tt += tu - tl
-            ci += 1
-        et = et / (1.0 - exp(pnc))
-        sol = least_squares(
-            lambda l: (et - t1) - self.expected_coal_time(l, tt), 1.0,
-            bounds=(0.0, inf), ftol=4e-16, xtol=4e-16, gtol=4e-16,
+    def with_theta(self, theta: float) -> "PiecewiseDemography":
+        """Rescale times/sizes to a different theta (same diploid data)."""
+        f = self.theta / theta
+        return dataclasses.replace(
+            self,
+            knots=self.knots * f,
+            sizes=self.sizes * f,
+            rho=self.rho / f,
+            theta=theta,
         )
-        return float(sol.x[0])
 
-    @staticmethod
-    def expected_coal_time(l, t):
-        if t == inf:
-            return l
-        r = t / l
-        return (1.0 - exp(-r) * (r + 1.0)) * l / (1.0 - exp(-r))
+    def group_starts(self) -> np.ndarray:
+        """Start time of each pattern group (the collapsed discretisation)."""
+        first = np.concatenate([[0], np.cumsum(self.group_len)[:-1]])
+        return self.knots[first]
 
-    def reestimate_coalescent_rates(self, times: list) -> list:
-        et = [self.average_coalescent_rate(t1, t2)
-              for t1, t2 in zip(times[:-1], times[1:])]
-        et.append(self.fit_coalescent_time(times[-1], inf))
-        return et
+    # -- interval statistics -------------------------------------------------
+
+    def _clipped(self, t1: float, t2: float):
+        """Per-segment overlap [lo, hi] with the window [t1, t2]."""
+        ends = np.append(self.knots[1:], np.inf)
+        lo = np.clip(self.knots, t1, t2)
+        hi = np.clip(ends, t1, t2)
+        return lo, np.maximum(hi, lo)
+
+    def harmonic_size(self, t1: float, t2: float) -> float:
+        """Duration-weighted harmonic mean of the size over [t1, t2]."""
+        lo, hi = self._clipped(t1, t2)
+        dur = hi - lo
+        return float(dur.sum() / (dur / self.sizes).sum())
+
+    def tail_mean_coal_time(self, t0: float) -> float:
+        """E[T_coal | T_coal > t0] under the piecewise-constant hazard."""
+        lo, hi = self._clipped(t0, np.inf)
+        r_lo = lo / self.sizes
+        with np.errstate(over="ignore"):
+            r_hi = hi / self.sizes
+        open_end = ~np.isfinite(r_hi)
+        # survival to each segment's (clipped) start, conditional on T > t0
+        surv = np.exp(np.concatenate([[0.0], (r_lo - r_hi)[:-1]]).cumsum())
+        # E[T 1{coal in segment} | survived to segment start], closed form of
+        # int_lo^hi t h e^{-h (t-lo)} dt with h = 1/size
+        upper = np.where(open_end, 0.0, (np.where(open_end, 0.0, r_hi) + 1.0)
+                         * np.exp(r_lo - np.where(open_end, r_lo, r_hi)))
+        seg_mean = self.sizes * ((r_lo + 1.0) - upper)
+        p_coal = 1.0 - np.exp(-(np.where(open_end, np.inf, r_hi - r_lo)).sum())
+        return float((surv * seg_mean).sum() / p_coal)
+
+    def regrid_rates(self, grid) -> list:
+        """One constant rate per merged interval (reference
+        ReestimateCoalescentRates, psmc.py:156-163): harmonic averaging on
+        bounded intervals, tail-expectation matching on the last, open one."""
+        grid = np.asarray(grid, dtype=float)
+        out = [self.harmonic_size(a, b) for a, b in zip(grid[:-1], grid[1:])]
+        out.append(self.tail_mean_coal_time(grid[-1]) - grid[-1])
+        return out
+
+
+def _expand_pattern(spec: str) -> np.ndarray:
+    """``"1*4+25*2"`` -> [4, 2, 2, ..., 2] (25 times)."""
+    out: list = []
+    for part in spec.split("+"):
+        nums = [int(v) for v in part.split("*")]
+        out.extend([nums[0]] if len(nums) == 1 else [nums[1]] * nums[0])
+    return np.asarray(out, dtype=int)
+
+
+def load_psmc_demography(path: str, em_round: int = -1) -> PiecewiseDemography:
+    """Parse one psmc output file into a PiecewiseDemography.
+
+    Single streaming pass: records every round's TR/RS block plus the MM
+    pattern line, then keeps the requested round (last if ``em_round`` is -1
+    or out of range).  Same record semantics as the reference parser
+    (psmc.py:35-81) without the double read / cursor loops.
+    """
+    pattern = None
+    rounds: dict = {}
+    current = None
+    with open(path) as fh:
+        for raw in fh:
+            parts = raw.split()
+            if not parts:
+                continue
+            tag = parts[0]
+            if tag == "MM" and len(parts) > 1 and parts[1].startswith("pattern"):
+                pattern = _expand_pattern(parts[1][:-1].split(":")[1])
+            elif tag == "RD":
+                current = {"knots": [], "sizes": [], "theta": 0.0, "rho": 0.0}
+                rounds[int(parts[1])] = current
+            elif current is None:
+                continue
+            elif tag == "TR":
+                current["theta"] = float(parts[1])
+                current["rho"] = float(parts[2])
+            elif tag == "RS":
+                current["knots"].append(float(parts[2]))
+                current["sizes"].append(float(parts[3]))
+    if not rounds:
+        raise ValueError(f"Corrupted or empty input file: {path}")
+    if em_round == -1 or em_round not in rounds:
+        em_round = max(rounds)
+    rec = rounds[em_round]
+    return PiecewiseDemography(
+        knots=np.asarray(rec["knots"], dtype=float),
+        sizes=np.asarray(rec["sizes"], dtype=float),
+        group_len=pattern if pattern is not None else np.array([], dtype=int),
+        theta=rec["theta"],
+        rho=rec["rho"],
+        em_round=em_round,
+    )
