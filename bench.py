@@ -66,7 +66,9 @@ def main() -> int:
     )
     lik = build_likelihood(spec)
 
-    batch = int(os.environ.get("MISTI_BENCH_BATCH", "256"))
+    # measured on v5e (round 2): corrected evals/s peaks around batch 512-1024
+    # (B=256 23.6k, B=512 35.2k, B=1024 34.6k, B=2048 25.1k -- HBM pressure)
+    batch = int(os.environ.get("MISTI_BENCH_BATCH", "512"))
     params = np.linspace(0.05, 1.2, batch)[:, None]
 
     try:

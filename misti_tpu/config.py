@@ -30,6 +30,13 @@ def setup_platform(platform: str | None = None) -> str:
     elif platform in ("tpu", "default"):
         # keep whatever accelerator the environment registered; f32
         jax.config.update("jax_enable_x64", False)
+        # TPU matmuls default to one-pass bf16, which scrambles the expm
+        # chains: measured max |dllh| ~ 6-22 vs the f64 reference on the
+        # bench workload, large enough to flip the optimiser's argmax
+        # (scripts/tpu_accuracy_check.py).  Full-f32 MXU passes fix it, and
+        # the workload is dispatch-bound, not FLOP-bound, so the extra MXU
+        # passes are nearly free.
+        jax.config.update("jax_default_matmul_precision", "highest")
     else:
         raise ValueError(f"unknown platform {platform!r} (use cpu|tpu|default)")
     return platform
