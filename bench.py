@@ -66,9 +66,12 @@ def main() -> int:
     )
     lik = build_likelihood(spec)
 
-    # measured on v5e (round 2): corrected evals/s peaks around batch 512-1024
-    # (B=256 23.6k, B=512 35.2k, B=1024 34.6k, B=2048 25.1k -- HBM pressure)
-    batch = int(os.environ.get("MISTI_BENCH_BATCH", "512"))
+    # steady-state batch scaling measured on v5e (scripts/bench_scaling.json,
+    # round 3, vector-path spectrum): B=128 72k, B=256 90k, B=512 103k,
+    # B=1024 111k, B=2048 114k evals/s.  (The round-2 matrix-path spectrum
+    # peaked at 28.8k at B=512 -- the 35.2k previously claimed here was not
+    # reproducible.)
+    batch = int(os.environ.get("MISTI_BENCH_BATCH", "2048"))
     params = np.linspace(0.05, 1.2, batch)[:, None]
 
     try:
@@ -85,7 +88,9 @@ def main() -> int:
         np.asarray(out)
     n_ok = int(np.isfinite(np.asarray(out)).sum())
 
-    reps = 5
+    # time a long enough window for a stable steady-state number (the
+    # per-dispatch latency is ~10-20 ms; 5 reps was noise-dominated)
+    reps = int(os.environ.get("MISTI_BENCH_REPS", "60"))
     t0 = time.perf_counter()
     for _ in range(reps):
         out = lik.llh_batch(params)

@@ -138,8 +138,13 @@ def main(argv=None) -> int:
         thrh=(input_data.theta, input_data.rho),
     )
     lik = build_likelihood(spec)
-    sol = solve(lik, clargs.tol)
+    # trace=True: print every evaluated (mu, -llh) like the reference's
+    # ObjectiveFunction (MigrationInference.py:713-716)
+    sol = solve(lik, clargs.tol, trace=True)
     print(sol)
+    corr_called = solve.last_corr_called
+    corr_failed = solve.last_corr_failed
+    nfev = solve.last_nfev
 
     if clargs.debug and np.isfinite(sol[1]):
         # expected vs empirical spectrum + neutral-mass sanity prints
@@ -185,7 +190,12 @@ def main(argv=None) -> int:
     if not np.isfinite(sol[1]):
         print("Failed to fit such a model.")
     elif clargs.bsMode == 0:
+        # OutputMigration re-evaluates the solution (migrationIO.py:350),
+        # which the reference's class counters include
         llh, aux = lik.llh_aux(np.asarray(sol[0]))
+        nfev += 1
+        corr_called += int(aux["corr_called"])
+        corr_failed += int(aux["corr_failed"])
         text = mi_format.format_migration(
             llh=float(llh), split_t=spec.splitT, sample_date=spec.sample_date,
             thrh=spec.thrh, jafs=np.asarray(aux["jafs"]),
@@ -197,14 +207,11 @@ def main(argv=None) -> int:
         mi_format.write_migration(fout, text)
     t3 = time.time()
 
-    # Report counters (reference MigrationInference.Report, :735-739).  Our
-    # Nelder-Mead evaluates all candidate points of an iteration in one
-    # batched call, so the call count is derived from the iteration count.
-    n_par = spec.n_params
-    nfev = (n_par + 1) + solve.last_nit * (n_par + 5) if n_par else 1
+    # Report counters (reference MigrationInference.Report, :735-739),
+    # accumulated on device across every evaluated candidate point
     print("Total number of likelihood function calls is", int(nfev))
-    print("Lambda correction called", int(nfev) * (spec.splitT if spec.correct else 0),
-          "times.")
+    print("Lambda correction called", int(corr_called), "times.")
+    print("Lambda correction failed", int(corr_failed), "times.")
     if clargs.debug:
         print_err("Runtime:   optimisation ", t2 - t1)
         print_err("           total        ", t3 - t0)

@@ -84,8 +84,7 @@ def main(argv=None) -> int:
     data = make_bootstrap_data(data_jafs, clargs.bsSize, seed=clargs.seed)
     splits = [float(v) for v in
               np.arange(clargs.splits[0], clargs.splits[1] + 1)]
-    mi_t = [[r[0], r[1], r[2] if r[2] == "ST" else r[2], r[3], r[4]]
-            for r in (clargs.mi or [])]
+    mi_t = [list(r) for r in (clargs.mi or [])]
     pu_t = clargs.pu or []
 
     t0 = time.time()
@@ -110,8 +109,10 @@ def main(argv=None) -> int:
         tgen = sum(input_data.times[0 : int(np.ceil(st))]) * input_data.scale_time
         for b in range(data.shape[0]):
             params = ", ".join(str(v) for v in res.params[si, b])
+            # row 0 is the unresampled spectrum = bs 0, rows 1..N the
+            # replicates (utils/generateJSFS_bs.py convention)
             print(
-                f"bs_id = {b - 1 if b else 0} \tsplitT = {st} \ttime = {tgen} "
+                f"bs_id = {b} \tsplitT = {st} \ttime = {tgen} "
                 f"\tmigration rates optim = [{params}] \tllh = {res.llh[si, b]}"
             )
 

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..kernels import correction as kc
-from ..kernels.expm import expm_and_integral
+from ..kernels.expm import expm_action_pair, expm_and_integral
 from ..model import statespace as ss
 from .spec import ModelSpec
 
@@ -52,6 +52,7 @@ class Likelihood:
     llh_aux: Callable  # params -> (llh, dict(jafs, lc, pr, valid))
     llh_batch: Callable  # params (B, n) -> (B,) llh
     llh_data: Callable = None  # (params, data7) -> llh, for bootstrap batching
+    llh_flags: Callable = None  # params -> (llh, [corr_called, corr_failed])
 
 
 def build_likelihood(
@@ -351,6 +352,24 @@ def build_likelihood(
     jsfs2 = jnp.asarray(b2.jsfs)  # (44, 7)
     jsfs1 = jnp.asarray(b1.jsfs)  # (8, 7)
 
+    # Vector-path spectrum (default): the scan body only ever needs the
+    # ACTION of E and N1 on the carried state, so it uses the Taylor
+    # sub-stepping action kernel whose matvecs are (batch, 44) @ (44, 176)
+    # static-basis matmuls -- the batch fills the MXU rows, versus ~4%
+    # systolic-array utilisation for batched (B, 44, 44) matmuls.  Measured
+    # on v5e (scripts/bench_scaling.json): the corrected bench workload goes
+    # from the matrix path's ~29k evals/s ceiling to the spectrum no longer
+    # dominating.  MISTI_SPECTRUM=matrix restores the materialised-expm path.
+    spectrum_mode = _os.environ.get("MISTI_SPECTRUM", "vector")
+    k2 = jnp.asarray(np.concatenate(
+        [b2.coal[0].T, b2.coal[1].T, b2.migr[0].T, b2.migr[1].T], axis=1
+    ))  # (44, 176)
+    norms2 = np.abs(np.stack(
+        [b2.coal[0], b2.coal[1], b2.migr[0], b2.migr[1]]
+    )).sum(axis=1).max(axis=1)  # one-norms of the four basis generators
+    k1 = jnp.asarray(b1.coal.T)  # (8, 8)
+    norms1 = np.abs(b1.coal).sum(axis=0).max(keepdims=True)
+
     def spectrum(lc, mi, pu):
         p0 = jnp.zeros(44, dtype=lc.dtype).at[2].set(1.0)
 
@@ -365,10 +384,15 @@ def build_likelihood(
             p0 = jnp.where(is_s, ancient @ p0, p0)
             p0 = ss.pulse_operator(pu_t[0], 0, b2) @ p0
             p0 = ss.pulse_operator(pu_t[1], 1, b2) @ p0
-            m = ss.two_pop_matrix(lc_t[0], lc_t[1], mi_t[0], mi_t[1], b2)
-            e, n1 = expm_and_integral(m, T_t)
-            jafs_t = cmask * ((n1 @ p0) @ jsfs2)
-            return e @ p0, jafs_t
+            if spectrum_mode == "vector":
+                coeffs = jnp.stack([lc_t[0], lc_t[1], mi_t[0], mi_t[1]])
+                p1, n1p = expm_action_pair(k2, coeffs, norms2, T_t, p0)
+            else:
+                m = ss.two_pop_matrix(lc_t[0], lc_t[1], mi_t[0], mi_t[1], b2)
+                e, n1 = expm_and_integral(m, T_t)
+                p1, n1p = e @ p0, n1 @ p0
+            jafs_t = cmask * (n1p @ jsfs2)
+            return p1, jafs_t
 
         p0, jafs_pre = jax.lax.scan(
             pre_body,
@@ -391,9 +415,13 @@ def build_likelihood(
 
         def post_body(p0, inp):
             lc_t, T_t = inp
-            m = ss.one_pop_matrix(lc_t[0], b1)
-            e, n1 = expm_and_integral(m, T_t)
-            return e @ p0, (n1 @ p0) @ jsfs1
+            if spectrum_mode == "vector":
+                p1, n1p = expm_action_pair(k1, lc_t[:1], norms1, T_t, p0)
+            else:
+                m = ss.one_pop_matrix(lc_t[0], b1)
+                e, n1 = expm_and_integral(m, T_t)
+                p1, n1p = e @ p0, n1 @ p0
+            return p1, n1p @ jsfs1
 
         p0, jafs_post = jax.lax.scan(
             post_body, p0, (lc[s : numT - 1], jnp.asarray(post_T))
@@ -432,8 +460,13 @@ def build_likelihood(
         llh = llh_const + jnp.sum(dat * jnp.log(safe))
         valid = nonneg & valid_corr & pos
         llh = jnp.where(valid, llh, -jnp.inf)
+        # Report() counter semantics (MigrationInference.py:306,336,347,567):
+        # the correction sweep is "called" once per eval that passes the
+        # negative-rate guard, and "failed" when it yields any rate <= 0.
+        corr_called = nonneg & jnp.asarray(bool(spec.correct) and s > 0)
         return llh, {"jafs": jafs, "lc": lc, "pr": pr, "valid": valid,
-                     "mi": mi, "pu": pu}
+                     "mi": mi, "pu": pu, "corr_called": corr_called,
+                     "corr_failed": corr_called & ~valid_corr}
 
     def llh_aux(params):
         return _llh_core(params, jnp.asarray(spec.data_jafs), spec.llh_const)
@@ -461,10 +494,17 @@ def build_likelihood(
             )
         return _llh_core(params, data7, const)[0]
 
+    def llh_flags(params):
+        """(llh, counter vector) for the optimiser's Report() accumulation."""
+        llh, aux = llh_aux(params)
+        flags = jnp.stack([aux["corr_called"], aux["corr_failed"]])
+        return llh, flags.astype(jnp.result_type(float))
+
     return Likelihood(
         spec=spec,
         llh=jax.jit(llh_only),
         llh_aux=jax.jit(llh_aux),
         llh_batch=jax.jit(jax.vmap(llh_only)),
         llh_data=llh_data,
+        llh_flags=llh_flags,
     )

@@ -35,6 +35,8 @@ class NMResult(NamedTuple):
     fun: jax.Array  # scalar best objective
     nit: jax.Array  # iterations used
     converged: jax.Array  # bool
+    nfev: jax.Array = jnp.asarray(0)  # objective evaluations performed
+    aux_sum: jax.Array = jnp.zeros(0)  # accumulated per-eval aux counters
 
 
 def _initial_simplex(x0):
@@ -51,20 +53,33 @@ def nelder_mead(
     xatol: float = 1e-4,
     fatol: float = 1e-4,
     maxiter: int = 1000,
+    naux: int = 0,
 ) -> NMResult:
     """Minimise ``fun`` with scipy-compatible Nelder-Mead update rules.
 
     ``fun``: R^n -> scalar; evaluated on traced inputs, so under `vmap` every
     simplex trial point of every batched problem evaluates in one batch.
+
+    ``naux > 0``: ``fun`` returns (scalar, aux (naux,)); the aux vectors are
+    summed over every evaluated point into ``NMResult.aux_sum`` (used for the
+    reference's per-eval correction counters, MigrationInference.py:36-38).
     """
     x0 = jnp.atleast_1d(jnp.asarray(x0))
     n = x0.shape[-1]
+
+    def fun2(p):
+        out = fun(p)
+        return out if naux else (out, jnp.zeros(0, x0.dtype))
+
     if n == 0:
-        f = fun(x0)
-        return NMResult(x=x0, fun=f, nit=jnp.asarray(0), converged=jnp.asarray(True))
+        f, aux = fun2(x0)
+        return NMResult(x=x0, fun=f, nit=jnp.asarray(0),
+                        converged=jnp.asarray(True), nfev=jnp.asarray(1),
+                        aux_sum=aux)
 
     sim = _initial_simplex(x0)
-    fsim = jax.vmap(fun)(sim)
+    fsim, aux0 = jax.vmap(fun2)(sim)
+    aux_sum0 = aux0.sum(axis=0)
 
     def order(sim, fsim):
         idx = jnp.argsort(fsim)
@@ -80,14 +95,15 @@ def nelder_mead(
         return xconv & fconv & jnp.isfinite(fsim[0])
 
     def cond(state):
-        sim, fsim, it = state
+        sim, fsim, it, _ = state
         return (~converged(sim, fsim)) & (it < maxiter)
 
     def body(state):
         # NB: under vmap this body runs for every lane until ALL lanes are
         # done; `halt` freezes converged lanes so batched fits are identical
         # to standalone fits.
-        sim, fsim, it = state
+        sim, fsim, it, counters = state
+        nfev, aux_sum = counters
         halt = converged(sim, fsim)
         xbar = jnp.mean(sim[:-1], axis=0)
         xr = (1 + _RHO) * xbar - _RHO * sim[-1]
@@ -100,7 +116,9 @@ def nelder_mead(
         # small (the objective is traced once, not 4+n times) and turns the
         # whole simplex step into a single batched likelihood evaluation.
         points = jnp.concatenate([jnp.stack([xr, xe, xc, xcc]), shrunk], axis=0)
-        fall = jax.vmap(fun)(points)
+        fall, auxall = jax.vmap(fun2)(points)
+        nfev = nfev + jnp.where(halt, 0, points.shape[0])
+        aux_sum = aux_sum + jnp.where(halt, 0.0, 1.0) * auxall.sum(axis=0)
         fxr, fxe, fxc, fxcc = fall[0], fall[1], fall[2], fall[3]
         fshrunk = fall[4:]
 
@@ -139,61 +157,98 @@ def nelder_mead(
         sim1, fsim1 = order(sim1, fsim1)
         sim1 = jnp.where(halt, sim, sim1)
         fsim1 = jnp.where(halt, fsim, fsim1)
-        return sim1, fsim1, it + jnp.where(halt, 0, 1)
+        return sim1, fsim1, it + jnp.where(halt, 0, 1), (nfev, aux_sum)
 
-    sim, fsim, it = jax.lax.while_loop(cond, body, (sim, fsim, jnp.asarray(0)))
+    sim, fsim, it, counters = jax.lax.while_loop(
+        cond, body,
+        (sim, fsim, jnp.asarray(0), (jnp.asarray(n + 1), aux_sum0)),
+    )
     # scipy reports nit = 1 + number of simplex updates
     return NMResult(x=sim[0], fun=fsim[0], nit=it + 1,
-                    converged=converged(sim, fsim))
+                    converged=converged(sim, fsim), nfev=counters[0],
+                    aux_sum=counters[1])
 
 
-def solve(lik, tol: float = 1e-4, global_opt: bool = False, seed: int = 0):
+def solve(lik, tol: float = 1e-4, global_opt: bool = False, seed: int = 0,
+          trace: bool = False, n_hops: int = 100):
     """Reference ``Solve`` (MigrationInference.py:718-733): maximise the llh.
 
     Returns [params, llh].  With no optimised parameters, evaluates once.
     ``global_opt`` runs a basin-hopping outer loop (T=0.5, Nelder-Mead local
     minimiser) on the host around the device NM, like the reference's
-    scipy.optimize.basinhopping call.
+    scipy.optimize.basinhopping call.  ``trace`` prints every evaluated
+    (mu, -llh) like the reference's ObjectiveFunction
+    (MigrationInference.py:713-716).
+
+    After the call, ``solve.last_nit`` / ``last_nfev`` / ``last_corr_called``
+    / ``last_corr_failed`` hold the run's Report() counters
+    (MigrationInference.py:36-38, 735-739).
     """
     spec = lik.spec
     init = spec.init_params
     solve.last_nit = 0
     if spec.n_params == 0:
-        return [np.zeros(0), float(lik.llh(np.zeros(0)))]
+        llh, flags = jax.jit(lik.llh_flags)(np.zeros(0))
+        solve.last_nfev = 1
+        solve.last_corr_called = int(flags[0])
+        solve.last_corr_failed = int(flags[1])
+        return [np.zeros(0), float(llh)]
 
-    obj = lambda p: -lik.llh(p)
-    nm = jax.jit(lambda x0: nelder_mead(obj, x0, xatol=tol, fatol=tol))
+    def obj(p):
+        llh, flags = lik.llh_flags(p)
+        if trace:
+            jax.debug.print("{} {}", p, -llh)
+        return -llh, flags
+
+    nm = jax.jit(lambda x0: nelder_mead(obj, x0, xatol=tol, fatol=tol, naux=2))
+
+    def record(res_list):
+        solve.last_nit = sum(int(r.nit) for r in res_list)
+        solve.last_nfev = sum(int(r.nfev) for r in res_list)
+        solve.last_corr_called = sum(int(r.aux_sum[0]) for r in res_list)
+        solve.last_corr_failed = sum(int(r.aux_sum[1]) for r in res_list)
 
     if not global_opt:
         res = nm(jnp.asarray(init, jnp.result_type(float)))
-        solve.last_nit = int(res.nit)
+        record([res])
         # scipy disp-style summary (the reference passes disp=True)
         if bool(res.converged):
             print("Optimization terminated successfully.")
         else:
             print("Maximum number of iterations has been exceeded.")
-        n = len(init)
         print(f"         Current function value: {float(res.fun):f}")
         print(f"         Iterations: {int(res.nit)}")
-        print(f"         Function evaluations: {(n + 1) + int(res.nit) * (n + 5)}")
+        print(f"         Function evaluations: {int(res.nfev)}")
         return [np.asarray(res.x), float(-res.fun)]
 
-    # basin-hopping: random displacement + Metropolis accept at T=0.5
+    # basin-hopping: random displacement + Metropolis accept at T=0.5, with
+    # scipy's AdaptiveStepsize schedule (interval=50, factor=0.9, target
+    # accept rate 0.5 -- the stepsize grows when hops keep being accepted,
+    # which is what lets the walker escape wide basins)
     rng = np.random.default_rng(seed)
     temp = 0.5
     stepsize = 0.5
+    interval, factor, target_accept = 50, 0.9, 0.5
+    naccept = 0
     x = np.asarray(init, float)
     res = nm(jnp.asarray(x))
+    all_res = [res]
     best_x, best_f = np.asarray(res.x), float(res.fun)
     cur_x, cur_f = best_x, best_f
-    for _ in range(100):
+    for step in range(1, n_hops + 1):
+        if step % interval == 0:
+            stepsize = (stepsize / factor if naccept / step > target_accept
+                        else stepsize * factor)
         trial = cur_x + rng.uniform(-stepsize, stepsize, size=cur_x.shape)
         r = nm(jnp.asarray(trial))
+        all_res.append(r)
         fx = float(r.fun)
         if fx < best_f:
             best_x, best_f = np.asarray(r.x), fx
         if fx <= cur_f or rng.random() < np.exp(-(fx - cur_f) / temp):
             cur_x, cur_f = np.asarray(r.x), fx
+            naccept += 1
+    record(all_res)
     return [best_x, float(-best_f)]
 
 

@@ -123,16 +123,29 @@ _C1 = [1.0 / math.factorial(k + 1) for k in range(19)]
 _C2 = [1.0 / math.factorial(k + 2) for k in range(19)]
 
 
-def _expm3(a, max_squarings=14):
-    """Elementwise scaling-and-squaring Taylor-18 expm of a 3x3 entry-tuple."""
+def _expm3(a, max_squarings=14, unroll=True):
+    """Elementwise scaling-and-squaring Taylor-18 expm of a 3x3 entry-tuple.
+
+    ``unroll=True`` emits the squaring steps inline (fastest through Mosaic:
+    loop machinery costs more than the masked matmuls for 3x3 work).
+    ``unroll=False`` rolls them into a ``fori_loop`` -- required for the
+    plain-XLA CPU validation modes, where unrolling the steps inside the
+    jvp-differentiated LM bodies makes XLA:CPU compilation intractable.
+    """
     b, s, _ = _scaling(a, max_squarings)
     e = _ps_horner(_ps_powers(b), _CE)
-    for i in range(max_squarings):
-        e = _m3_select(float(i) < s, _m3_mul(e, e), e)
-    return e
+    if unroll:
+        for i in range(max_squarings):
+            e = _m3_select(float(i) < s, _m3_mul(e, e), e)
+        return e
+
+    def body(i, e):
+        return _m3_select(i.astype(s.dtype) < s, _m3_mul(e, e), e)
+
+    return jax.lax.fori_loop(0, max_squarings, body, e, unroll=False)
 
 
-def _expm3_moment(a, max_squarings=14):
+def _expm3_moment(a, max_squarings=14, unroll=True):
     """(E, K) of the stretched (t=1) generator: E = e^a, K = int_0^1 s e^{as} ds.
 
     Same quantities as kernels/expm.py `expm_integral_moment(m, 1.0)` (used by
@@ -149,8 +162,8 @@ def _expm3_moment(a, max_squarings=14):
     h = scale  # current accumulated interval length (starts at 2^-s, ends at 1)
     n1 = tuple(h * x for x in phi1)
     k = tuple(h * h * (x - y) for x, y in zip(phi1, phi2))
-    for i in range(max_squarings):
-        live = float(i) < s
+
+    def step(live, e, k, n1, h):
         tmp = tuple(kk + h * nn for kk, nn in zip(k, n1))
         kn = tuple(x + y for x, y in zip(k, _m3_mul(e, tmp)))
         n1n = tuple(x + y for x, y in zip(n1, _m3_mul(e, n1)))
@@ -159,6 +172,20 @@ def _expm3_moment(a, max_squarings=14):
         n1 = _m3_select(live, n1n, n1)
         e = _m3_select(live, en, e)
         h = jnp.where(live, 2.0 * h, h)
+        return e, k, n1, h
+
+    if unroll:
+        for i in range(max_squarings):
+            e, k, n1, h = step(float(i) < s, e, k, n1, h)
+        return e, k
+
+    def body(i, st):
+        e, k, n1, h = st
+        return step(i.astype(s.dtype) < s, e, k, n1, h)
+
+    e, k, _, _ = jax.lax.fori_loop(
+        0, max_squarings, body, (e, k, n1, h), unroll=False
+    )
     return e, k
 
 
@@ -268,6 +295,7 @@ def _sweep_body(
     rounds: int,
     iters0: int,
     iters_warm: int,
+    unroll: bool,
     shift_fn,
     n_rows: int,
 ):
@@ -301,7 +329,8 @@ def _sweep_body(
         guesses (x0s, x1s) (engine/likelihood.py `_chain` semantics: the
         propagator expm(M(lc, mu) T) == expm(M(lc*T, mu*T)) by linearity of
         the generator in its rates)."""
-        e = _expm3(_corr_mat(x0s, x1s, mu0s, mu1s), max_squarings=20)
+        e = _expm3(_corr_mat(x0s, x1s, mu0s, mu1s), max_squarings=20,
+                   unroll=unroll)
         if has_pulse:
             # pulses act on the state BEFORE the exponential (column
             # convention q_out = E PU1 PU0 q_in): materialise P = PU1 @ PU0
@@ -355,12 +384,14 @@ def _sweep_body(
 
         def res_general(a0, a1):
             if cpfit:
-                e = _expm3(_corr_mat(a0, a1, mu0s, mu1s), max_squarings=14)
+                e = _expm3(_corr_mat(a0, a1, mu0s, mu1s), max_squarings=14,
+                           unroll=unroll)
                 cs = [e[0 + j] + e[3 + j] + e[6 + j] for j in range(3)]
                 r0 = cs[0] * p00 + cs[1] * p01 + cs[2] * p02 - jnp.exp(-lh_s0) * s0
                 r1 = cs[0] * p10 + cs[1] * p11 + cs[2] * p12 - jnp.exp(-lh_s1) * s1
                 return r0, r1
-            e, k = _expm3_moment(_corr_mat(a0, a1, mu0s, mu1s), max_squarings=14)
+            e, k = _expm3_moment(_corr_mat(a0, a1, mu0s, mu1s),
+                                 max_squarings=14, unroll=unroll)
             cs = [e[0 + j] + e[3 + j] + e[6 + j] for j in range(3)]
             pnc0 = cs[0] * pn00 + cs[1] * pn01 + cs[2] * pn02
             pnc1 = cs[0] * pn10 + cs[1] * pn11 + cs[2] * pn12
@@ -490,6 +521,7 @@ def build_fused_correction(
     mode: str = "pallas",  # "pallas" | "xla"
     interpret: bool = False,
     lane_block: int = 128,
+    unroll: bool | None = None,
 ):
     """Build the fused sweep: f(mi, pu) with mi, pu (B, s, 2) returning
     (lc (B, s, 2), p_after (B, s, 2, 3)).
@@ -502,6 +534,11 @@ def build_fused_correction(
     s = int(len(times))
     lh = np.asarray(lh, float)
     times = np.asarray(times, float)
+    if unroll is None:
+        # Mosaic wants the 3x3 squaring steps inline (loop machinery costs
+        # more than the masked matmuls); XLA:CPU cannot tractably compile the
+        # unrolled steps inside the jvp'd LM bodies -- roll them there.
+        unroll = mode == "pallas" and not interpret
     static = dict(
         cpfit=cpfit,
         mixture_th=float(mixture_th),
@@ -510,6 +547,7 @@ def build_fused_correction(
         rounds=rounds,
         iters0=iters0,
         iters_warm=iters_warm,
+        unroll=unroll,
     )
 
     def _impl(mi, pu):

@@ -186,6 +186,67 @@ def expm_and_integral(m: jax.Array, t,
     return e, n1
 
 
+def expm_action_pair(kmat: jax.Array, coeffs: jax.Array, basis_norms,
+                     t, p0: jax.Array, theta: float = 2.0,
+                     degree: int = 20, max_substeps: int = 1 << 14):
+    """(E p0, N1 p0) for M = sum_c coeffs[c] * B_c WITHOUT forming E or N1.
+
+    The spectrum sweep only consumes the action of E = e^{Mt} and
+    N1 = int_0^t e^{Ms} ds on the carried state vector
+    (MigrationInference.py:497-506 `SolveDifEq` + the JSFS projection), so
+    materialising (B, 44, 44) exponentials wastes both FLOPs and MXU tiling:
+    a batched 44x44 matmul uses ~4% of the systolic array.  Here every
+    matvec is one (batch, n) @ (n, c*n) matmul against the STATIC stacked
+    basis ``kmat`` = [B_0^T | ... | B_{c-1}^T] (batch fills the MXU rows),
+    and the interval is covered by m = ceil(||Mt||_1 / theta) Taylor
+    sub-steps of the degree-``degree`` series for (e^b, phi1(b)):
+
+        p_{j+1} = e(b) p_j,   N1 p0 = sum_j h * phi1(b) p_j,   b = M t / m.
+
+    ``basis_norms[c]`` = ||B_c||_1 gives the cheap upper bound
+    ||M||_1 <= sum |coeffs[c]| * ||B_c||_1 used to pick m (no matrix is ever
+    formed).  Truncation error ~ theta^(degree+1)/(degree+1)! per sub-step
+    (4e-14 at theta=2, degree=20).
+    """
+    n = p0.shape[-1]
+    c = coeffs.shape[-1]
+    t = jnp.asarray(t, p0.dtype)
+    nb = jnp.sum(jnp.abs(coeffs) * jnp.asarray(basis_norms, p0.dtype)) * t
+    m = jnp.maximum(1, jnp.ceil(nb / theta)).astype(jnp.int32)
+    m = jnp.minimum(m, max_substeps)
+    h = t / m.astype(p0.dtype)
+    cs = coeffs * h  # scaled rates: b = sum cs[c] * B_c, ||b||_1 <= theta
+
+    def matvec(v):
+        y = (v @ kmat).reshape(v.shape[:-1] + (c, n))
+        return jnp.sum(cs[..., None] * y, axis=-2)
+
+    def series(p):
+        """(e(b) p, phi1(b) p) sharing the Krylov chain term_k = b^k p / k!."""
+
+        def kbody(k, st):
+            term, ev, pv = st
+            term = matvec(term) / k.astype(p.dtype)
+            return term, ev + term, pv + term / (k + 1).astype(p.dtype)
+
+        _, ev, pv = jax.lax.fori_loop(1, degree + 1, kbody, (p, p, p))
+        return ev, pv
+
+    def cond(carry):
+        j = carry[0]
+        return j < m
+
+    def body(carry):
+        j, p, acc = carry
+        ev, pv = series(p)
+        return j + 1, ev, acc + h * pv
+
+    _, p1, n1p = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), p0, jnp.zeros_like(p0))
+    )
+    return p1, n1p
+
+
 def expm_integral_moment(m: jax.Array, t) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Return (E, N1, K): exponential, occupancy integral and first moment.
 

@@ -72,17 +72,23 @@ def main() -> int:
         print(f"wrote {OUT} (backend={jax.default_backend()})")
         return 0
 
+    if not os.path.exists(OUT):
+        print(f"{OUT} not found -- run the accelerator phase first:\n"
+              f"    python {sys.argv[0]} tpu")
+        return 1
     ref = np.load(OUT)
-    print(f"TPU backend recorded: {ref['backend']}")
+    lines = [f"TPU backend recorded: {ref['backend']}"]
     for name, f32, f64 in (("corrected", ref["llh_corr"], llh_corr),
                            ("trueEPS  ", ref["llh_true"], llh_true)):
         adiff = np.abs(f32 - f64)
-        rdiff = adiff / np.abs(f64)
-        print(f"{name}: llh f64 range [{f64.min():.3f}, {f64.max():.3f}]  "
-              f"max|dllh| = {adiff.max():.3e}  max rel = {rdiff.max():.3e}")
+        rdiff = adiff / np.maximum(np.abs(f64), 1e-12)
+        lines.append(
+            f"{name}: llh f64 range [{f64.min():.3f}, {f64.max():.3f}]  "
+            f"max|dllh| = {adiff.max():.3e}  max rel = {rdiff.max():.3e}")
         # the argmax candidate (what the optimiser chases) must agree
-        print(f"{name}: argmax f32 = {int(f32.argmax())}  "
-              f"argmax f64 = {int(f64.argmax())}")
+        lines.append(f"{name}: argmax f32 = {int(f32.argmax())}  "
+                     f"argmax f64 = {int(f64.argmax())}")
+    print("\n".join(lines))
     return 0
 
 

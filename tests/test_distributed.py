@@ -1,0 +1,66 @@
+"""Two-process jax.distributed exercise of dist/mesh.init_distributed.
+
+The reference has no inter-process communication at all (its scaling story
+is GNU-Parallel fan-out, SURVEY.md section 2.6); the TPU build replaces that
+with a jax.distributed multi-host mesh.  Real multi-host TPU hardware is not
+available here, so this test wires TWO coordinated CPU-backend processes
+(2 virtual devices each) through the exact `init_distributed` + `make_mesh`
+pathway and asserts the 4-device sharded likelihood table equals the
+single-process result bitwise.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+WORKER = os.path.join(HERE, "_dist_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_sharded_llh_matches_single(tmp_path):
+    coordinator = f"127.0.0.1:{_free_port()}"
+    outs = [str(tmp_path / f"proc{i}.npz") for i in range(2)]
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, coordinator, "2", str(i), outs[i]],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for i in range(2)
+    ]
+    for p in procs:
+        try:
+            stdout, stderr = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"worker failed:\n{stdout}\n{stderr}"
+
+    res = [np.load(o) for o in outs]
+    assert int(res[0]["process_count"]) == 2
+    assert int(res[0]["n_devices"]) == 4
+    # both processes read back the identical replicated table
+    np.testing.assert_array_equal(res[0]["llh"], res[1]["llh"])
+
+    # single-process evaluation of the same workload (this process is the
+    # usual 8-virtual-device CPU backend; the values must agree bitwise --
+    # sharding layout may not change the numbers)
+    sys.path.insert(0, HERE)
+    import _dist_worker
+
+    lik = _dist_worker.build_workload()
+    params = np.linspace(0.05, 0.9, 8)[:, None]
+    single = np.asarray(lik.llh_batch(params))
+    assert np.all(np.isfinite(single))
+    np.testing.assert_allclose(res[0]["llh"], single, rtol=0, atol=0)

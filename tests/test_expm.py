@@ -73,3 +73,53 @@ def test_expm_differentiable():
     eps = 1e-6
     fd = (f(1.2 + eps) - f(1.2 - eps)) / (2 * eps)
     np.testing.assert_allclose(np.asarray(g), fd, rtol=1e-5)
+
+
+def test_expm_action_pair_matches_materialized():
+    """The sub-stepping action kernel (E p0, N1 p0) vs materialised expm,
+    over interval lengths spanning 1 to ~100 sub-steps."""
+    from misti_tpu.kernels.expm import expm_action_pair, expm_and_integral
+    from misti_tpu.model import statespace as ss
+
+    b2 = ss.two_pop_basis()
+    kmat = jnp.asarray(np.concatenate(
+        [b2.coal[0].T, b2.coal[1].T, b2.migr[0].T, b2.migr[1].T], axis=1))
+    norms = np.abs(np.stack(
+        [b2.coal[0], b2.coal[1], b2.migr[0], b2.migr[1]])).sum(1).max(1)
+    rng = np.random.default_rng(5)
+    p0 = rng.random(44)
+    p0 /= p0.sum()
+    for t in (0.0, 1e-4, 0.02, 0.3, 2.0, 25.0):
+        for rates in ([1.3, 0.8, 0.3, 0.05], [4.1, 9.5, 0.0, 0.0]):
+            coeffs = jnp.asarray(rates, float)
+            m = ss.two_pop_matrix(*rates, b2)
+            e, n1 = expm_and_integral(jnp.asarray(m), jnp.asarray(t))
+            p1_ref = np.asarray(e) @ p0
+            n1p_ref = np.asarray(n1) @ p0
+            p1, n1p = expm_action_pair(kmat, coeffs, norms, t, jnp.asarray(p0))
+            np.testing.assert_allclose(np.asarray(p1), p1_ref,
+                                       rtol=1e-11, atol=1e-13)
+            np.testing.assert_allclose(np.asarray(n1p), n1p_ref,
+                                       rtol=1e-11, atol=1e-13)
+
+
+def test_expm_action_pair_batched():
+    """vmapped action kernel (the llh_batch layout) == per-lane results."""
+    from misti_tpu.kernels.expm import expm_action_pair
+    from misti_tpu.model import statespace as ss
+
+    b1 = ss.one_pop_basis()
+    kmat = jnp.asarray(b1.coal.T)
+    norms = np.abs(b1.coal).sum(0).max(keepdims=True)
+    rng = np.random.default_rng(9)
+    p0 = rng.random((6, 8))
+    lams = jnp.asarray(rng.uniform(0.2, 8.0, size=(6, 1)))
+    run = jax.vmap(lambda c, p: expm_action_pair(kmat, c, norms, 0.7, p))
+    p1b, n1b = run(lams, jnp.asarray(p0))
+    for i in range(6):
+        p1, n1p = expm_action_pair(kmat, lams[i], norms, 0.7,
+                                   jnp.asarray(p0[i]))
+        np.testing.assert_allclose(np.asarray(p1b)[i], np.asarray(p1),
+                                   rtol=1e-12, atol=1e-15)
+        np.testing.assert_allclose(np.asarray(n1b)[i], np.asarray(n1p),
+                                   rtol=1e-12, atol=1e-15)

@@ -85,3 +85,70 @@ def test_solve_batch_lockstep():
     np.testing.assert_allclose(x, 0.0, atol=2e-3)
     f = -np.asarray(res.fun)
     np.testing.assert_allclose(f, f[0], atol=2e-2)
+
+
+class _FakeSpec:
+    n_params = 2
+    init_params = [0.45, 0.0]
+
+
+class _FakeLik:
+    """Duck-typed Likelihood over an asymmetric double-well: the local
+    minimum near x=+0.5 traps plain NM from the init; the global minimum is
+    near x=-0.5 (reference basinhopping semantics, MigrationInference.py:724)."""
+
+    spec = _FakeSpec()
+
+    @staticmethod
+    def _f(p):
+        return (4.0 * p[0] ** 2 - 1.0) ** 2 + 0.3 * p[0] + p[1] ** 2
+
+    def llh_flags(self, p):
+        return -self._f(p), jnp.zeros(2, jnp.result_type(float))
+
+    def llh(self, p):
+        return -self._f(p)
+
+
+def test_basinhopping_escapes_local_minimum():
+    lik = _FakeLik()
+    x_loc, llh_loc = solve(lik, tol=1e-6)  # plain NM: trapped near +0.5
+    assert abs(float(x_loc[0]) - 0.5) < 0.1
+    x_glob, llh_glob = solve(lik, tol=1e-6, global_opt=True, seed=0, n_hops=25)
+    assert abs(float(x_glob[0]) + 0.5) < 0.1  # global well found
+    assert llh_glob > llh_loc
+    # scipy basinhopping (the reference's optimizer) lands in the same well
+    ref = sopt.basinhopping(
+        lambda x: float(_FakeLik._f(x)), [0.45, 0.0], T=0.5, seed=0,
+        minimizer_kwargs=dict(method="Nelder-Mead"),
+    )
+    np.testing.assert_allclose(np.asarray(x_glob), ref.x, atol=1e-2)
+    np.testing.assert_allclose(-llh_glob, ref.fun, atol=1e-5)
+
+
+def test_report_counters():
+    """solve() exposes the reference Report() counters
+    (MigrationInference.py:36-38): nfev counts every evaluated candidate,
+    corr_called every eval past the negative-rate guard, corr_failed every
+    eval whose corrected rates went non-positive."""
+    fx = load_fixture("solve.npz")
+    spec = build_spec(
+        list(fx["times"]), [list(v) for v in fx["lams"]], list(fx["sfs"]),
+        float(fx["splitT"]), [list(v) for v in fx["mi"]], [],
+        unfolded=True, smooth=False,
+    )
+    lik = build_likelihood(spec)
+    x, llh = solve(lik, tol=1e-4)
+    n = 1
+    assert solve.last_nfev >= (n + 1) + solve.last_nit - 1
+    assert 0 < solve.last_corr_called <= solve.last_nfev
+    assert 0 <= solve.last_corr_failed <= solve.last_corr_called
+    # trueEPS: the correction sweep is never entered
+    spec_t = build_spec(
+        list(fx["times"]), [list(v) for v in fx["lams"]], list(fx["sfs"]),
+        float(fx["splitT"]), [list(v) for v in fx["mi"]], [],
+        unfolded=True, smooth=False, correct=False,
+    )
+    solve(build_likelihood(spec_t), tol=1e-4)
+    assert solve.last_corr_called == 0
+    assert solve.last_corr_failed == 0
