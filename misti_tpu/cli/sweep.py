@@ -119,20 +119,30 @@ def main(argv=None) -> int:
     ci = split_time_confidence_interval(res, input_data.times,
                                         input_data.scale_time)
     n_cells = len(splits) * data.shape[0]
-    print(json.dumps({
+    summary = {
         "cells": n_cells,
         "wallclock_s": round(dt, 3),
         "cells_per_s": round(n_cells / dt, 3),
         "split_mean_gens": float(ci["mean"]),
         "split_ci_gens": [float(ci["ci"][0]), float(ci["ci"][1])],
         "ci_level": ci["level"],
-    }))
+    }
+    if res.nfev is not None:
+        # actual likelihood evaluations performed across all lockstep fits
+        # (reference COUNT_LLH; the baseline does ~5.7 of these per
+        # core-second, BASELINE.md)
+        evals = int(res.nfev.sum())
+        summary["llh_evals"] = evals
+        summary["evals_per_s"] = round(evals / dt, 1)
+        summary["vs_baseline_1core"] = round(evals / dt / 5.7, 1)
+    print(json.dumps(summary))
     if clargs.fout:
+        extra = {} if res.nfev is None else {"nfev": res.nfev}
         np.savez(
             clargs.fout, split_times=res.split_times, params=res.params,
             llh=res.llh, data=res.data,
             times=np.asarray(input_data.times),
-            scale_time=input_data.scale_time,
+            scale_time=input_data.scale_time, **extra,
         )
         print("results table written to", clargs.fout)
     return 0

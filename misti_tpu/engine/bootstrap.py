@@ -33,6 +33,7 @@ class SweepResult:
     params: np.ndarray  # (S, B, n) fitted parameters
     llh: np.ndarray  # (S, B) fitted log-likelihoods
     data: np.ndarray  # (B, 7) per-replicate spectra (row 0 = full data)
+    nfev: np.ndarray = None  # (S, B) likelihood evaluations per cell
 
 
 def make_bootstrap_data(jafs: Jafs, n_replicates: int, seed: int = 0) -> np.ndarray:
@@ -80,6 +81,18 @@ def sweep(
         return _sweep_fused(times, lambdas, data, [int(v) for v in split_times],
                             mi_template, pu_template, tol=tol, mesh=mesh,
                             sample_date=sample_date, **spec_flags)
+    if fused:
+        import sys
+        import warnings
+
+        msg = (
+            "sweep: fractional split times disable the one-compile fused "
+            "grid; compiling one program PER split time instead (on TPU "
+            "this costs minutes of compile per split). Use integer split "
+            "indices for the fused path."
+        )
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
+        print(f"WARNING: {msg}", file=sys.stderr)
 
     all_params = []
     all_llh = []
@@ -147,25 +160,27 @@ def _sweep_fused(times, lambdas, data, splits, mi_template, pu_template, *,
         def fit_one(st_i, x0_i, d_i):
             res = nelder_mead(lambda p: -fs.llh(st_i, p, d_i), x0_i,
                               xatol=tol, fatol=tol)
-            return res.x, -res.fun
+            return res.x, -res.fun, res.nfev
     else:
         def fit_one(st_i, x0_i, d_i):
-            return jnp.zeros(0), fs.llh(st_i, jnp.zeros(0), d_i)
+            return jnp.zeros(0), fs.llh(st_i, jnp.zeros(0), d_i), jnp.asarray(1)
 
     run = jax.jit(jax.vmap(fit_one))
     sp, orig = pad_to_multiple(st_idx, n_dev)
     dp, _ = pad_to_multiple(cell_data, n_dev, fill=1.0)
     xp, _ = pad_to_multiple(x0, n_dev)
     with mesh:
-        x, llh = run(
+        x, llh, nfev = run(
             shard_replicates(mesh, sp),
             shard_replicates(mesh, xp),
             shard_replicates(mesh, dp),
         )
     x = np.asarray(x)[:orig].reshape(len(splits), b, -1)
     llh = np.asarray(llh)[:orig].reshape(len(splits), b)
+    nfev = np.asarray(nfev)[:orig].reshape(len(splits), b)
     return SweepResult(
-        split_times=np.asarray(splits, float), params=x, llh=llh, data=data
+        split_times=np.asarray(splits, float), params=x, llh=llh, data=data,
+        nfev=nfev,
     )
 
 

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..kernels import correction as kc
-from ..kernels.expm import expm_and_integral
+from ..kernels.expm import expm_action_pair, expm_and_integral
 from ..model import statespace as ss
 from .likelihood import _pulse_update_3state
 from .optimize import nelder_mead
@@ -61,6 +61,7 @@ def build_fused_sweep(
     smooth: bool = True,
     unfolded: bool = False,
     mixture_th: float = 0.0,
+    correction_mode: str | None = None,
 ) -> FusedSweep:
     """Build the fused sweep function.
 
@@ -151,6 +152,41 @@ def build_fused_sweep(
     static_no_mig = n_opt_mi == 0 and bool(np.all(mi_base == 0))
     _PAR_OUTERS = 6
 
+    # correction strategy: same default rule as build_likelihood (fused
+    # Pallas kernel on accelerators, scan strategy on CPU).  The sweep's
+    # interval tables depend on the lane's split index, so the kernel is
+    # built with dynamic (traced, per-lane) lh/times tables.
+    import os as _os
+
+    if correction_mode is None:
+        correction_mode = _os.environ.get("MISTI_CORRECTION", "")
+    if not correction_mode or correction_mode.startswith("scan"):
+        correction_mode = (
+            "scan" if (correction_mode.startswith("scan")
+                       or jax.default_backend() == "cpu") else "fused-pallas"
+        )
+    _fused_corr = None
+    if correct and correction_mode.startswith("fused"):
+        from ..kernels.correction_pallas import build_fused_correction
+
+        has_pulse = bool(pu_template) or bool(np.any(pu_base != 0))
+        _fused_corr = build_fused_correction(
+            None, None, cpfit=cpfit, mixture_th=mixture_th,
+            static_no_mig=static_no_mig, has_pulse=has_pulse,
+            mode="xla" if correction_mode == "fused-xla" else "pallas",
+            interpret=correction_mode == "fused-interpret",
+            n_intervals=s_max,
+        )
+
+    # vector-path spectrum constants (see engine/likelihood.py)
+    spectrum_mode = _os.environ.get("MISTI_SPECTRUM", "vector")
+    k2 = jnp.asarray(np.concatenate(
+        [b2.coal[0].T, b2.coal[1].T, b2.migr[0].T, b2.migr[1].T], axis=1))
+    norms2 = np.abs(np.stack(
+        [b2.coal[0], b2.coal[1], b2.migr[0], b2.migr[1]])).sum(1).max(1)
+    k1 = jnp.asarray(b1.coal.T)
+    norms1 = np.abs(b1.coal).sum(axis=0).max(keepdims=True)
+
     def llh_fn(st_idx, params, data7):
         st_idx = jnp.asarray(st_idx, jnp.int32)
         params = jnp.asarray(params, jnp.result_type(float)).reshape(n_par)
@@ -200,7 +236,15 @@ def build_fused_sweep(
                                                       pu_pre))
             return p_solver, p_fin
 
-        if correct:
+        if correct and _fused_corr is not None:
+            # one fused kernel per cell; the custom_vmap rule flattens the
+            # (split x replicate) vmap axis into kernel lanes
+            lc3, pa3 = _fused_corr(mi_pre[None], pu_pre[None], lhp[None],
+                                   tp[None])
+            lc_pre = lc3[0]  # padded rows pinned to 1 by the T == 0 rule
+            p_fin = pa3[0][-1]  # (2, 3): padding rows are exact no-ops
+            valid = jnp.all(jnp.where(pad[:, None], 1.0, lc_pre) > 0)
+        elif correct:
             t_safe = jnp.where(pad, 1.0, tp)
 
             def solve_all(p_solver, x0, iters):
@@ -276,9 +320,14 @@ def build_fused_sweep(
             p = jnp.where(is_t, ancient @ p, p)
             p = ss.pulse_operator(pu_t[0], 0, b2) @ p
             p = ss.pulse_operator(pu_t[1], 1, b2) @ p
-            m = ss.two_pop_matrix(lc_t[0], lc_t[1], mi_t[0], mi_t[1], b2)
-            e, n1 = expm_and_integral(m, T_t)
-            return e @ p, cm * ((n1 @ p) @ jsfs2)
+            if spectrum_mode == "vector":
+                coeffs = jnp.stack([lc_t[0], lc_t[1], mi_t[0], mi_t[1]])
+                p1, n1p = expm_action_pair(k2, coeffs, norms2, T_t, p)
+            else:
+                m = ss.two_pop_matrix(lc_t[0], lc_t[1], mi_t[0], mi_t[1], b2)
+                e, n1 = expm_and_integral(m, T_t)
+                p1, n1p = e @ p, n1 @ p
+            return p1, cm * (n1p @ jsfs2)
 
         p0, jafs_pre = jax.lax.scan(
             pre_body, p0, (lc_pre, tp, mi_pre, pu_pre, is_s, cmask)
@@ -290,9 +339,13 @@ def build_fused_sweep(
 
         def post_spec(p, inp):
             lc_t, T_t = inp
-            m = ss.one_pop_matrix(lc_t[0], b1)
-            e, n1 = expm_and_integral(m, T_t)
-            return e @ p, (n1 @ p) @ jsfs1
+            if spectrum_mode == "vector":
+                p1, n1p = expm_action_pair(k1, lc_t[:1], norms1, T_t, p)
+            else:
+                m = ss.one_pop_matrix(lc_t[0], b1)
+                e, n1 = expm_and_integral(m, T_t)
+                p1, n1p = e @ p, n1 @ p
+            return p1, n1p @ jsfs1
 
         p8, jafs_post = jax.lax.scan(post_spec, p8, (lc_post, tq))
 

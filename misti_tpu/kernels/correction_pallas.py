@@ -458,6 +458,12 @@ def _sweep_body(
             bail = mix < mixture_th
             lc0 = jnp.where(bail, -1.0, lc0)
             lc1 = jnp.where(bail, -1.0, lc1)
+        # zero-length intervals (grid-sweep padding rows) are exact no-ops in
+        # the chain (expm(b*0) = I) but their solve is degenerate: pin lc = 1
+        # (the reference's own T == 0 rule, MigrationInference.py:357-359) so
+        # a NaN there cannot reach lc*T in the next round's chain.
+        lc0 = jnp.where(T == 0, 1.0, lc0)
+        lc1 = jnp.where(T == 0, 1.0, lc1)
         return lc0, lc1
 
     # Jacobi outer rounds: chain from the current guesses, re-solve every
@@ -508,8 +514,8 @@ def _round_up(x, m):
 
 
 def build_fused_correction(
-    lh: np.ndarray,  # (s, 2) PSMC mixed rates, pre-split intervals
-    times: np.ndarray,  # (s,) interval lengths
+    lh: np.ndarray | None,  # (s, 2) PSMC mixed rates, pre-split intervals
+    times: np.ndarray | None,  # (s,) interval lengths
     *,
     cpfit: bool,
     mixture_th: float = 0.0,
@@ -522,18 +528,30 @@ def build_fused_correction(
     interpret: bool = False,
     lane_block: int = 128,
     unroll: bool | None = None,
+    n_intervals: int | None = None,
 ):
     """Build the fused sweep: f(mi, pu) with mi, pu (B, s, 2) returning
     (lc (B, s, 2), p_after (B, s, 2, 3)).
+
+    With ``lh``/``times`` given, the interval tables are baked in (the
+    single-model fit path).  With ``lh=times=None`` and ``n_intervals=s``,
+    the returned function takes f(mi, pu, lh (B, s, 2), t (B, s)) -- the
+    grid-sweep path, where each lane's tables depend on its split index and
+    zero-length padding rows are exact no-ops (see the T == 0 rule in
+    `_solve_round`).
 
     The returned function carries a `jax.custom_vmap` rule that flattens any
     additional vmap axes into the lane dimension, so nesting it under
     optimiser/bootstrap vmaps dispatches ONE wide kernel instead of many
     narrow ones.
     """
-    s = int(len(times))
-    lh = np.asarray(lh, float)
-    times = np.asarray(times, float)
+    dynamic_tables = times is None
+    if dynamic_tables:
+        s = int(n_intervals)
+    else:
+        s = int(len(times))
+        lh = np.asarray(lh, float)
+        times = np.asarray(times, float)
     if unroll is None:
         # Mosaic wants the 3x3 squaring steps inline (loop machinery costs
         # more than the masked matmuls); XLA:CPU cannot tractably compile the
@@ -550,13 +568,18 @@ def build_fused_correction(
         unroll=unroll,
     )
 
-    def _impl(mi, pu):
+    def _impl(mi, pu, lh_tab=None, t_tab=None):
         dtype = jnp.result_type(float)
         B = mi.shape[0]
         # fields as (intervals, lanes)
-        Tf = jnp.broadcast_to(jnp.asarray(times, dtype)[:, None], (s, B))
-        lh0 = jnp.broadcast_to(jnp.asarray(lh[:, 0], dtype)[:, None], (s, B))
-        lh1 = jnp.broadcast_to(jnp.asarray(lh[:, 1], dtype)[:, None], (s, B))
+        if dynamic_tables:
+            Tf = t_tab.astype(dtype).T
+            lh0 = lh_tab[..., 0].astype(dtype).T
+            lh1 = lh_tab[..., 1].astype(dtype).T
+        else:
+            Tf = jnp.broadcast_to(jnp.asarray(times, dtype)[:, None], (s, B))
+            lh0 = jnp.broadcast_to(jnp.asarray(lh[:, 0], dtype)[:, None], (s, B))
+            lh1 = jnp.broadcast_to(jnp.asarray(lh[:, 1], dtype)[:, None], (s, B))
         mi0 = mi[..., 0].astype(dtype).T
         mi1 = mi[..., 1].astype(dtype).T
         pu0 = pu[..., 0].astype(dtype).T
@@ -627,22 +650,43 @@ def build_fused_correction(
         )  # (B, s, 2, 3)
         return lc, p_after
 
-    @jax.custom_batching.custom_vmap
-    def sweep(mi, pu):
-        return _impl(mi, pu)
+    if not dynamic_tables:
 
-    @sweep.def_vmap
-    def _rule(axis_size, in_batched, mi, pu):
-        if not in_batched[0]:
-            mi = jnp.broadcast_to(mi[None], (axis_size,) + mi.shape)
-        if not in_batched[1]:
-            pu = jnp.broadcast_to(pu[None], (axis_size,) + pu.shape)
-        lead = mi.shape[:2]
-        lc, pa = sweep(
-            mi.reshape((-1,) + mi.shape[2:]), pu.reshape((-1,) + pu.shape[2:])
-        )
+        @jax.custom_batching.custom_vmap
+        def sweep(mi, pu):
+            return _impl(mi, pu)
+
+        @sweep.def_vmap
+        def _rule(axis_size, in_batched, mi, pu):
+            if not in_batched[0]:
+                mi = jnp.broadcast_to(mi[None], (axis_size,) + mi.shape)
+            if not in_batched[1]:
+                pu = jnp.broadcast_to(pu[None], (axis_size,) + pu.shape)
+            lead = mi.shape[:2]
+            lc, pa = sweep(
+                mi.reshape((-1,) + mi.shape[2:]), pu.reshape((-1,) + pu.shape[2:])
+            )
+            lc = lc.reshape(lead + lc.shape[1:])
+            pa = pa.reshape(lead + pa.shape[1:])
+            return (lc, pa), (True, True)
+
+        return sweep
+
+    @jax.custom_batching.custom_vmap
+    def sweep_dyn(mi, pu, lh_tab, t_tab):
+        return _impl(mi, pu, lh_tab, t_tab)
+
+    @sweep_dyn.def_vmap
+    def _rule_dyn(axis_size, in_batched, mi, pu, lh_tab, t_tab):
+        args = []
+        for batched, a in zip(in_batched, (mi, pu, lh_tab, t_tab)):
+            if not batched:
+                a = jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+            args.append(a)
+        lead = args[0].shape[:2]
+        lc, pa = sweep_dyn(*(a.reshape((-1,) + a.shape[2:]) for a in args))
         lc = lc.reshape(lead + lc.shape[1:])
         pa = pa.reshape(lead + pa.shape[1:])
         return (lc, pa), (True, True)
 
-    return sweep
+    return sweep_dyn

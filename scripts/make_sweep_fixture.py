@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""Generate a han_fre-shaped synthetic scenario for the north-star sweep.
+
+The reference benchmark workload (test.bs/han_fre.bs.sh:29-37) is 101
+bootstrap replicates x 8 split times, each a 1-parameter Nelder-Mead fit on
+~64 merged time intervals with `-mi 1 4 ST 3 1 --cpfit -uf` -- about 3.5
+core-hours under GNU Parallel (BASELINE.md).  The real han/fre psmc and
+chunked JSFS inputs are gitignored upstream, so this writes synthetic
+stand-ins with the same SHAPE: two psmc files on the standard
+"4+25*2+4+6" time pattern (28 atomic intervals each, different thetas so
+the merged union grid has ~60 intervals) and a 200-chunk JSFS for
+bootstrap resampling, all with smooth plausible human-like size histories.
+
+Writes tests/fixtures/sweep{1,2}.psmc and tests/fixtures/sweep.jsfs.
+"""
+
+import os
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+FIXDIR = os.path.join(os.path.dirname(HERE), "tests", "fixtures")
+
+
+def psmc_text(theta, rho, seed, n_int=28, tmax=15.0):
+    rng = np.random.default_rng(seed)
+    # psmc-like geometric time grid
+    alpha = np.log(1 + tmax / 0.1)
+    t = 0.1 * (np.exp(alpha * np.arange(n_int) / n_int) - 1.0)
+    # smooth size history: bottleneck + ancient expansion
+    lam = (1.0 + 1.6 * np.exp(-((np.log1p(t) - 0.8) ** 2) / 0.25)
+           + 0.8 / (1.0 + np.exp(-(np.log1p(t) - 2.0) * 3.0))
+           + 0.08 * rng.standard_normal(n_int))
+    lam = np.clip(lam, 0.35, 6.0)
+    lines = ["CC  synthetic han_fre-shaped psmc for the sweep benchmark",
+             "MM  pattern:4+25*2+4+6, n_seqs:1, sum_L:2700000000"]
+    for rd in (0, 25):
+        lines.append(f"RD\t{rd}")
+        lines.append(f"TR\t{theta}\t{rho}")
+        for k in range(n_int):
+            lines.append(f"RS\t{k}\t{t[k]:.6f}\t{lam[k]:.6f}\t0.0\t0.0\t0.0")
+        lines.append("PA\t4+25*2+4+6 0.1")
+        lines.append("//")
+    return "\n".join(lines) + "\n"
+
+
+def main() -> int:
+    os.makedirs(FIXDIR, exist_ok=True)
+    with open(os.path.join(FIXDIR, "sweep1.psmc"), "w") as f:
+        f.write(psmc_text(0.00072, 0.00013, seed=1))
+    with open(os.path.join(FIXDIR, "sweep2.psmc"), "w") as f:
+        f.write(psmc_text(0.00065, 0.00012, seed=2))
+
+    # chunked JSFS: 200 chunks (the utils/MS2JSFS.py default), column order
+    # total, 0100, 1100, 0001, 0101, 1101, 0011, 0111.  The category
+    # probabilities come from the forward model itself (split index 24,
+    # migration rate 0.5 on band [4, ST)) so the sweep's fits are
+    # well-conditioned like the real han_fre workload instead of chasing a
+    # model-data mismatch to the panmixia boundary.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import sys
+
+    sys.path.insert(0, os.path.dirname(HERE))
+    from misti_tpu.engine.likelihood import build_likelihood
+    from misti_tpu.engine.spec import build_spec
+    from misti_tpu.io import psmc as io_psmc
+
+    d = io_psmc.read_psmc(os.path.join(FIXDIR, "sweep1.psmc"),
+                          os.path.join(FIXDIR, "sweep2.psmc"), 0, -1)
+    spec = build_spec(d.times, d.lambdas, [0.0] + [1.0] * 7, 24,
+                      [[1, 4, 24, 0.5, 0]], [], unfolded=True, cpfit=True,
+                      smooth=False)
+    _, aux = build_likelihood(spec).llh_aux(np.zeros(0))
+    base = np.asarray(aux["jafs"])
+    print("model-derived JSFS:", np.round(base, 4))
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for _ in range(200):
+        length = int(rng.uniform(0.8, 1.2) * 13_500_000)
+        n_seg = rng.poisson(4200)
+        counts = rng.multinomial(n_seg, base / base.sum())
+        rows.append([length, *counts])
+    with open(os.path.join(FIXDIR, "sweep.jsfs"), "w") as f:
+        f.write("#MiSTI_JSFS version 1.0\n")
+        f.write("#total\t0100\t1100\t0001\t0101\t1101\t0011\t0111\n")
+        for r in rows:
+            f.write("\t".join(str(v) for v in r) + "\n")
+    print("wrote sweep1.psmc sweep2.psmc sweep.jsfs in", FIXDIR)
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

@@ -76,3 +76,32 @@ def test_fused_vmaps_over_grid():
     )
     assert out.shape == (6,)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_fused_sweep_pallas_correction_trace_matches_scan():
+    """The grid sweep's dynamic-table fused correction (per-lane lh/times
+    tables, T == 0 padding rows) computes the same cells as the scan-Jacobi
+    strategy -- validated through the fused-xla trace of the kernel body."""
+    times, lams = _toy()
+    splits = [4, 7]
+    data = np.array([3000.0, 800, 2900, 1500, 1200, 850, 1250])
+    mk = lambda mode: build_fused_sweep(
+        times, lams, splits, [[1, 0, "ST", 0.25, 1]], [],
+        cpfit=True, smooth=True, unfolded=True, correction_mode=mode,
+    )
+    f_scan = mk("scan")
+    f_fused = mk("fused-xla")
+    for i in range(len(splits)):
+        for rate in (0.25, 0.6):
+            a = float(jax.jit(f_fused.llh)(i, np.array([rate]), data))
+            b = float(jax.jit(f_scan.llh)(i, np.array([rate]), data))
+            np.testing.assert_allclose(a, b, rtol=1e-7, atol=1e-5,
+                                       err_msg=f"st={splits[i]} rate={rate}")
+    # batched over cells (the production layout): custom_vmap flattening
+    cells = [(0, 0.25), (0, 0.6), (1, 0.25), (1, 0.6), (1, 0.9)]
+    st_i = jnp.asarray([c[0] for c in cells], jnp.int32)
+    ps = jnp.asarray([[c[1]] for c in cells])
+    batch = jax.jit(jax.vmap(lambda s, p: f_fused.llh(s, p, data)))(st_i, ps)
+    for k, (i, rate) in enumerate(cells):
+        b = float(jax.jit(f_scan.llh)(i, np.array([rate]), data))
+        np.testing.assert_allclose(float(batch[k]), b, rtol=1e-7, atol=1e-5)
