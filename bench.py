@@ -66,11 +66,11 @@ def main() -> int:
     )
     lik = build_likelihood(spec)
 
-    # steady-state batch scaling measured on v5e (scripts/bench_scaling.json,
-    # round 3, vector-path spectrum): B=128 72k, B=256 90k, B=512 103k,
-    # B=1024 111k, B=2048 114k evals/s.  (The round-2 matrix-path spectrum
-    # peaked at 28.8k at B=512 -- the 35.2k previously claimed here was not
-    # reproducible.)
+    # steady-state batch scaling measured on v5e: see
+    # scripts/bench_scaling.json (round 3).  The vector-path spectrum plus
+    # the trimmed fused-correction budgets peak at batch 2048
+    # (187k evals/s); the round-2 matrix-path spectrum peaked at 28.8k at
+    # B=512 (the 35.2k previously claimed here was not reproducible).
     batch = int(os.environ.get("MISTI_BENCH_BATCH", "2048"))
     params = np.linspace(0.05, 1.2, batch)[:, None]
 

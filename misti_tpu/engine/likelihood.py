@@ -59,6 +59,7 @@ def build_likelihood(
     spec: ModelSpec,
     sequential: bool | None = None,
     correction_mode: str | None = None,
+    fused_opts: dict | None = None,
 ) -> Likelihood:
     """Build the compiled likelihood for ``spec``.
 
@@ -215,6 +216,7 @@ def build_likelihood(
             has_pulse=has_pulse,
             mode="xla" if correction_mode == "fused-xla" else "pallas",
             interpret=correction_mode == "fused-interpret",
+            **(fused_opts or {}),
         )
 
     def correct_sweep(mi, pu):

@@ -188,7 +188,7 @@ def expm_and_integral(m: jax.Array, t,
 
 def expm_action_pair(kmat: jax.Array, coeffs: jax.Array, basis_norms,
                      t, p0: jax.Array, theta: float = 2.0,
-                     degree: int = 20, max_substeps: int = 1 << 14):
+                     degree: int = 20, max_substeps: int = 1024):
     """(E p0, N1 p0) for M = sum_c coeffs[c] * B_c WITHOUT forming E or N1.
 
     The spectrum sweep only consumes the action of E = e^{Mt} and
@@ -207,13 +207,23 @@ def expm_action_pair(kmat: jax.Array, coeffs: jax.Array, basis_norms,
     ||M||_1 <= sum |coeffs[c]| * ||B_c||_1 used to pick m (no matrix is ever
     formed).  Truncation error ~ theta^(degree+1)/(degree+1)! per sub-step
     (4e-14 at theta=2, degree=20).
+
+    The cost is LINEAR in ||M t||_1 (m sub-steps of ``degree`` matvecs), so
+    ``max_substeps`` hard-caps it: beyond norm theta*max_substeps (2048 at
+    the defaults -- far past any physical demography; e^{-norm} underflows
+    f32 there anyway) the result is poisoned with NaN, which the likelihood's
+    positivity mask turns into llh = -inf.  Without the cap, a single
+    Nelder-Mead runaway lane (expansion steps double the trial rate every
+    iteration) makes the whole lockstep batch crawl: the vmapped sub-step
+    while_loop runs until the WORST lane finishes.
     """
     n = p0.shape[-1]
     c = coeffs.shape[-1]
     t = jnp.asarray(t, p0.dtype)
     nb = jnp.sum(jnp.abs(coeffs) * jnp.asarray(basis_norms, p0.dtype)) * t
+    overflow = ~(nb <= theta * max_substeps)  # catches NaN coeffs too
     m = jnp.maximum(1, jnp.ceil(nb / theta)).astype(jnp.int32)
-    m = jnp.minimum(m, max_substeps)
+    m = jnp.clip(m, 1, max_substeps)
     h = t / m.astype(p0.dtype)
     cs = coeffs * h  # scaled rates: b = sum cs[c] * B_c, ||b||_1 <= theta
 
@@ -244,7 +254,8 @@ def expm_action_pair(kmat: jax.Array, coeffs: jax.Array, basis_norms,
     _, p1, n1p = jax.lax.while_loop(
         cond, body, (jnp.asarray(0, jnp.int32), p0, jnp.zeros_like(p0))
     )
-    return p1, n1p
+    bad = jnp.asarray(jnp.nan, p0.dtype)
+    return (jnp.where(overflow, bad, p1), jnp.where(overflow, bad, n1p))
 
 
 def expm_integral_moment(m: jax.Array, t) -> tuple[jax.Array, jax.Array, jax.Array]:

@@ -57,8 +57,13 @@ def test_sweep_cli_end_to_end(tmp_path, capsys):
     cells = [l for l in text.splitlines() if l.startswith("bs_id =")]
     assert len(cells) == 2 * 3  # 2 split times x (1 + 2 replicates)
     assert all("llh =" in l for l in cells)
+    # row 0 = unresampled data = bs 0, rows 1..N = replicates (the
+    # generateJSFS_bs convention): labels must be 0,1,2 per split
+    ids = [int(l.split()[2]) for l in cells]
+    assert ids == [0, 1, 2, 0, 1, 2], ids
     d = np.load(out)
     assert d["llh"].shape == (2, 3)
     assert np.all(np.isfinite(d["llh"]))
+    assert d["nfev"].shape == (2, 3) and np.all(d["nfev"] >= 3)
     # row 0 (full data) at st=8 must match the standalone misti fit setup
     assert d["params"].shape == (2, 3, 1)

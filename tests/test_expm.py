@@ -89,7 +89,7 @@ def test_expm_action_pair_matches_materialized():
     rng = np.random.default_rng(5)
     p0 = rng.random(44)
     p0 /= p0.sum()
-    for t in (0.0, 1e-4, 0.02, 0.3, 2.0, 25.0):
+    for t in (0.0, 1e-4, 0.02, 0.3, 2.0, 8.0):
         for rates in ([1.3, 0.8, 0.3, 0.05], [4.1, 9.5, 0.0, 0.0]):
             coeffs = jnp.asarray(rates, float)
             m = ss.two_pop_matrix(*rates, b2)
@@ -101,6 +101,14 @@ def test_expm_action_pair_matches_materialized():
                                        rtol=1e-11, atol=1e-13)
             np.testing.assert_allclose(np.asarray(n1p), n1p_ref,
                                        rtol=1e-11, atol=1e-13)
+    # beyond the sub-step cap (norm > theta * max_substeps, far past any
+    # physical demography) the action kernel poisons its outputs with NaN --
+    # the likelihood's positivity mask turns this into llh = -inf instead of
+    # letting one runaway Nelder-Mead lane stall the whole lockstep batch
+    p1, n1p = expm_action_pair(kmat, jnp.asarray([1e4, 1e4, 0.0, 0.0]),
+                               norms, 10.0, jnp.asarray(p0))
+    assert np.all(np.isnan(np.asarray(p1)))
+    assert np.all(np.isnan(np.asarray(n1p)))
 
 
 def test_expm_action_pair_batched():
