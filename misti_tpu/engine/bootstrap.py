@@ -141,8 +141,22 @@ def sweep(
 
 
 def _sweep_fused(times, lambdas, data, splits, mi_template, pu_template, *,
-                 tol, mesh, sample_date, **spec_flags):
-    """One-compile grid sweep via engine.sweep_fused."""
+                 tol, mesh, sample_date, phase1_maxiter=192, bucket=512,
+                 maxiter=1000, **spec_flags):
+    """One-compile grid sweep via engine.sweep_fused, with straggler
+    compaction.
+
+    Lockstep fits pay for the SLOWEST lane every iteration: a few
+    non-convergent cells (rate running to the boundary at wrong split
+    times) hit maxiter=1000 while the median cell needs ~20 iterations
+    (SWEEPBENCH_r03.json nfev table).  So the sweep runs in two phases:
+    phase 1 gives every cell ``phase1_maxiter`` iterations; the few
+    unconverged cells are then compacted into ``bucket``-wide batches and
+    resumed from their exact NMState to ``maxiter``.  Because Nelder-Mead
+    is Markov in (simplex, fsim, it), the two-phase trajectory is identical
+    to an uninterrupted run (tests/test_sweep_fused.py pins this).
+    """
+    from .optimize import NMState
     from .sweep_fused import build_fused_sweep
 
     fs = build_fused_sweep(
@@ -157,30 +171,90 @@ def _sweep_fused(times, lambdas, data, splits, mi_template, pu_template, *,
     x0 = np.tile(fs.init_params, (n_cells, 1))
 
     if fs.n_params:
-        def fit_one(st_i, x0_i, d_i):
-            res = nelder_mead(lambda p: -fs.llh(st_i, p, d_i), x0_i,
-                              xatol=tol, fatol=tol)
+        def fit_phase1(st_i, x0_i, d_i):
+            res, st = nelder_mead(
+                lambda p: -fs.llh(st_i, p, d_i), x0_i, xatol=tol, fatol=tol,
+                maxiter=min(phase1_maxiter, maxiter), with_state=True,
+            )
+            return res.x, -res.fun, res.nfev, res.converged, st
+
+        def fit_phase2(st_i, d_i, sim, fsim, it, nfev0):
+            st = NMState(sim=sim, fsim=fsim, it=it, nfev=nfev0,
+                         aux_sum=jnp.zeros(0, sim.dtype))
+            res = nelder_mead(
+                lambda p: -fs.llh(st_i, p, d_i),
+                jnp.zeros(fs.n_params, sim.dtype), xatol=tol, fatol=tol,
+                maxiter=maxiter, state0=st,
+            )
             return res.x, -res.fun, res.nfev
     else:
-        def fit_one(st_i, x0_i, d_i):
-            return jnp.zeros(0), fs.llh(st_i, jnp.zeros(0), d_i), jnp.asarray(1)
+        def fit_phase1(st_i, x0_i, d_i):
+            llh = fs.llh(st_i, jnp.zeros(0), d_i)
+            return (jnp.zeros(0), llh, jnp.asarray(1), jnp.asarray(True),
+                    NMState(sim=jnp.zeros((1, 0)), fsim=-llh[None],
+                            it=jnp.asarray(0), nfev=jnp.asarray(1),
+                            aux_sum=jnp.zeros(0)))
 
-    run = jax.jit(jax.vmap(fit_one))
+    import sys
+    import time
+
+    run1 = jax.jit(jax.vmap(fit_phase1))
     sp, orig = pad_to_multiple(st_idx, n_dev)
     dp, _ = pad_to_multiple(cell_data, n_dev, fill=1.0)
     xp, _ = pad_to_multiple(x0, n_dev)
+    t0 = time.perf_counter()
     with mesh:
-        x, llh, nfev = run(
+        x, llh, nfev, conv, states = run1(
             shard_replicates(mesh, sp),
             shard_replicates(mesh, xp),
             shard_replicates(mesh, dp),
         )
-    x = np.asarray(x)[:orig].reshape(len(splits), b, -1)
-    llh = np.asarray(llh)[:orig].reshape(len(splits), b)
-    nfev = np.asarray(nfev)[:orig].reshape(len(splits), b)
+    x = np.array(x)[:orig]
+    llh = np.array(llh)[:orig]
+    nfev = np.array(nfev)[:orig]
+    conv = np.asarray(conv)[:orig]
+
+    print(f"# sweep phase 1: {orig} cells, {time.perf_counter() - t0:.1f} s "
+          f"(incl any compile), unconverged {int((~conv).sum())}",
+          file=sys.stderr)
+    t0 = time.perf_counter()
+
+    todo = np.flatnonzero(~conv)
+    if fs.n_params and todo.size and phase1_maxiter < maxiter:
+        run2 = jax.jit(jax.vmap(fit_phase2))
+        sim_all = np.asarray(states.sim)
+        fsim_all = np.asarray(states.fsim)
+        it_all = np.asarray(states.it)
+        nfev_all = np.asarray(states.nfev)
+        bucket = max(int(bucket), n_dev)
+        bucket = -(-bucket // n_dev) * n_dev
+        for k in range(0, todo.size, bucket):
+            chunk = todo[k : k + bucket]
+            idx = np.concatenate(
+                [chunk, np.full(bucket - chunk.size, chunk[0], chunk.dtype)]
+            )
+            with mesh:
+                x2, llh2, nfev2 = run2(
+                    shard_replicates(mesh, sp[idx]),
+                    shard_replicates(mesh, dp[idx]),
+                    shard_replicates(mesh, sim_all[idx]),
+                    shard_replicates(mesh, fsim_all[idx]),
+                    shard_replicates(mesh, it_all[idx]),
+                    shard_replicates(mesh, nfev_all[idx]),
+                )
+            m = chunk.size
+            x[chunk] = np.asarray(x2)[:m]
+            llh[chunk] = np.asarray(llh2)[:m]
+            nfev[chunk] = np.asarray(nfev2)[:m]
+        print(f"# sweep phase 2: {todo.size} resumed cells, "
+              f"{time.perf_counter() - t0:.1f} s", file=sys.stderr)
+
     return SweepResult(
-        split_times=np.asarray(splits, float), params=x, llh=llh, data=data,
-        nfev=nfev,
+        split_times=np.asarray(splits, float),
+        params=x.reshape(len(splits), b, -1),
+        llh=llh.reshape(len(splits), b),
+        data=data,
+        nfev=nfev.reshape(len(splits), b),
     )
 
 

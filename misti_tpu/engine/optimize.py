@@ -39,6 +39,19 @@ class NMResult(NamedTuple):
     aux_sum: jax.Array = jnp.zeros(0)  # accumulated per-eval aux counters
 
 
+class NMState(NamedTuple):
+    """Resumable Nelder-Mead state: the optimisation is Markov in
+    (simplex, objective values, iteration counter), so a fit paused at
+    ``maxiter`` and resumed via ``state0`` follows the identical trajectory
+    as an uninterrupted run (used for straggler compaction in sweeps)."""
+
+    sim: jax.Array  # (n+1, n)
+    fsim: jax.Array  # (n+1,)
+    it: jax.Array
+    nfev: jax.Array
+    aux_sum: jax.Array
+
+
 def _initial_simplex(x0):
     n = x0.shape[-1]
     pert = jnp.where(x0 != 0.0, x0 * (1.0 + _NONZDELT), _ZDELT)
@@ -54,7 +67,9 @@ def nelder_mead(
     fatol: float = 1e-4,
     maxiter: int = 1000,
     naux: int = 0,
-) -> NMResult:
+    state0: NMState | None = None,
+    with_state: bool = False,
+):
     """Minimise ``fun`` with scipy-compatible Nelder-Mead update rules.
 
     ``fun``: R^n -> scalar; evaluated on traced inputs, so under `vmap` every
@@ -63,6 +78,9 @@ def nelder_mead(
     ``naux > 0``: ``fun`` returns (scalar, aux (naux,)); the aux vectors are
     summed over every evaluated point into ``NMResult.aux_sum`` (used for the
     reference's per-eval correction counters, MigrationInference.py:36-38).
+
+    ``state0`` resumes a previous run's NMState (same trajectory as an
+    uninterrupted run); ``with_state=True`` returns (NMResult, NMState).
     """
     x0 = jnp.atleast_1d(jnp.asarray(x0))
     n = x0.shape[-1]
@@ -73,13 +91,25 @@ def nelder_mead(
 
     if n == 0:
         f, aux = fun2(x0)
-        return NMResult(x=x0, fun=f, nit=jnp.asarray(0),
-                        converged=jnp.asarray(True), nfev=jnp.asarray(1),
-                        aux_sum=aux)
+        res = NMResult(x=x0, fun=f, nit=jnp.asarray(0),
+                       converged=jnp.asarray(True), nfev=jnp.asarray(1),
+                       aux_sum=aux)
+        if with_state:
+            return res, NMState(sim=x0[None], fsim=f[None], it=res.nit,
+                                nfev=res.nfev, aux_sum=aux)
+        return res
 
-    sim = _initial_simplex(x0)
-    fsim, aux0 = jax.vmap(fun2)(sim)
-    aux_sum0 = aux0.sum(axis=0)
+    if state0 is None:
+        sim = _initial_simplex(x0)
+        fsim, aux0 = jax.vmap(fun2)(sim)
+        aux_sum0 = aux0.sum(axis=0)
+        it0 = jnp.asarray(0)
+        nfev0 = jnp.asarray(n + 1)
+    else:
+        sim, fsim = state0.sim, state0.fsim
+        aux_sum0 = state0.aux_sum
+        it0 = state0.it
+        nfev0 = state0.nfev
 
     def order(sim, fsim):
         idx = jnp.argsort(fsim)
@@ -160,13 +190,16 @@ def nelder_mead(
         return sim1, fsim1, it + jnp.where(halt, 0, 1), (nfev, aux_sum)
 
     sim, fsim, it, counters = jax.lax.while_loop(
-        cond, body,
-        (sim, fsim, jnp.asarray(0), (jnp.asarray(n + 1), aux_sum0)),
+        cond, body, (sim, fsim, it0, (nfev0, aux_sum0))
     )
     # scipy reports nit = 1 + number of simplex updates
-    return NMResult(x=sim[0], fun=fsim[0], nit=it + 1,
-                    converged=converged(sim, fsim), nfev=counters[0],
-                    aux_sum=counters[1])
+    res = NMResult(x=sim[0], fun=fsim[0], nit=it + 1,
+                   converged=converged(sim, fsim), nfev=counters[0],
+                   aux_sum=counters[1])
+    if with_state:
+        return res, NMState(sim=sim, fsim=fsim, it=it, nfev=counters[0],
+                            aux_sum=counters[1])
+    return res
 
 
 def solve(lik, tol: float = 1e-4, global_opt: bool = False, seed: int = 0,
