@@ -141,20 +141,23 @@ def sweep(
 
 
 def _sweep_fused(times, lambdas, data, splits, mi_template, pu_template, *,
-                 tol, mesh, sample_date, phase1_maxiter=192, bucket=512,
+                 tol, mesh, sample_date, phase1_maxiter=64, bucket=256,
                  maxiter=1000, **spec_flags):
     """One-compile grid sweep via engine.sweep_fused, with straggler
     compaction.
 
     Lockstep fits pay for the SLOWEST lane every iteration: a few
     non-convergent cells (rate running to the boundary at wrong split
-    times) hit maxiter=1000 while the median cell needs ~20 iterations
+    times) hit maxiter=1000 while the p95 cell converges in <30 iterations
     (SWEEPBENCH_r03.json nfev table).  So the sweep runs in two phases:
-    phase 1 gives every cell ``phase1_maxiter`` iterations; the few
-    unconverged cells are then compacted into ``bucket``-wide batches and
-    resumed from their exact NMState to ``maxiter``.  Because Nelder-Mead
-    is Markov in (simplex, fsim, it), the two-phase trajectory is identical
-    to an uninterrupted run (tests/test_sweep_fused.py pins this).
+    phase 1 gives every cell ``phase1_maxiter`` iterations; the unconverged
+    cells are then compacted into ``bucket``-wide batches and resumed from
+    their exact NMState to ``maxiter``.  Because Nelder-Mead is Markov in
+    (simplex, fsim, it), the two-phase trajectory is identical to an
+    uninterrupted run (tests/test_sweep_fused.py pins this).  Even when
+    MANY cells resume, sequential ``bucket``-wide chunks cost no more than
+    the full-width lockstep they replace (per-iteration cost is mostly
+    width-independent overhead).
     """
     from .optimize import NMState
     from .sweep_fused import build_fused_sweep

@@ -127,3 +127,27 @@ def test_two_phase_compaction_matches_single_phase():
     np.testing.assert_array_equal(r2.llh, r1.llh)
     np.testing.assert_array_equal(r2.params, r1.params)
     np.testing.assert_array_equal(r2.nfev, r1.nfev)
+
+
+def test_fused_sweep_with_pulse_template_matches_per_split():
+    """Pulse-migration templates ("ST" time placeholder) through the fused
+    grid: padded rows must never fire a pulse, and each cell must equal the
+    per-split likelihood."""
+    times, lams = _toy()
+    splits = [4, 6]
+    data = np.array([3000.0, 800, 2900, 1500, 1200, 850, 1250])
+    fused = build_fused_sweep(
+        times, lams, splits, [[1, 0, "ST", 0.2, 1]], [[2, 2, 0.15, 0]],
+        cpfit=True, smooth=False, unfolded=True,
+    )
+    for i, st in enumerate(splits):
+        spec = build_spec(
+            times, lams, [0.0, *data], st, [[1, 0, st, 0.2, 1]],
+            [[2, 2, 0.15, 0]], cpfit=True, smooth=False, unfolded=True,
+        )
+        lik = build_likelihood(spec, sequential=False)
+        for rate in (0.1, 0.5):
+            a = float(jax.jit(fused.llh)(i, np.array([rate]), data))
+            b = float(lik.llh_data(np.array([rate]), jnp.asarray(data)))
+            np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-6,
+                                       err_msg=f"st={st} rate={rate}")
