@@ -232,14 +232,20 @@ def expm_action_pair(kmat: jax.Array, coeffs: jax.Array, basis_norms,
         return jnp.sum(cs[..., None] * y, axis=-2)
 
     def series(p):
-        """(e(b) p, phi1(b) p) sharing the Krylov chain term_k = b^k p / k!."""
+        """(e(b) p, phi1(b) p) sharing the Krylov chain term_k = b^k p / k!.
+
+        Unrolled: ``degree`` straight-line matvecs per sub-step -- a rolled
+        fori_loop pays per-step loop latency that rivals the matvec cost at
+        these tiny widths.
+        """
 
         def kbody(k, st):
             term, ev, pv = st
             term = matvec(term) / k.astype(p.dtype)
             return term, ev + term, pv + term / (k + 1).astype(p.dtype)
 
-        _, ev, pv = jax.lax.fori_loop(1, degree + 1, kbody, (p, p, p))
+        _, ev, pv = jax.lax.fori_loop(1, degree + 1, kbody, (p, p, p),
+                                      unroll=True)
         return ev, pv
 
     def cond(carry):
