@@ -142,9 +142,9 @@ def main(argv=None) -> int:
     # ObjectiveFunction (MigrationInference.py:713-716)
     sol = solve(lik, clargs.tol, trace=True)
     print(sol)
-    corr_called = solve.last_corr_called
-    corr_failed = solve.last_corr_failed
-    nfev = solve.last_nfev
+    corr_called = sol.corr_called
+    corr_failed = sol.corr_failed
+    nfev = sol.nfev
 
     if clargs.debug and np.isfinite(sol[1]):
         # expected vs empirical spectrum + neutral-mass sanity prints

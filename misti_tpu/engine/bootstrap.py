@@ -58,6 +58,10 @@ def sweep(
     mesh=None,
     sample_date: int = 0,
     fused: bool = True,
+    stage_caps: Sequence[int] = (16, 32, 64, 128, 256),
+    bucket: Optional[int] = None,
+    maxiter: int = 1000,
+    phase1_maxiter: Optional[int] = None,
     **spec_flags,
 ) -> SweepResult:
     """Fit every (replicate, split time) cell.
@@ -71,6 +75,12 @@ def sweep(
     sharded lockstep Nelder-Mead; ``fused=False`` compiles one program per
     split time (useful for fractional split times, which the fused path
     does not support).
+
+    ``stage_caps``/``bucket``/``maxiter`` tune the fused path's straggler
+    compaction (see `_sweep_fused`); they are explicit parameters (not
+    ``spec_flags``) so the per-split fallback never forwards them to
+    ``build_spec``.  ``phase1_maxiter`` is the round-3 back-compat alias
+    for a single-stage schedule ``(phase1_maxiter,)``.
     """
     data = np.asarray(data, float)
     b = data.shape[0]
@@ -80,7 +90,9 @@ def sweep(
     if fused and all(float(st) == int(st) for st in split_times):
         return _sweep_fused(times, lambdas, data, [int(v) for v in split_times],
                             mi_template, pu_template, tol=tol, mesh=mesh,
-                            sample_date=sample_date, **spec_flags)
+                            sample_date=sample_date, stage_caps=stage_caps,
+                            bucket=bucket, maxiter=maxiter,
+                            phase1_maxiter=phase1_maxiter, **spec_flags)
     if fused:
         import sys
         import warnings
@@ -140,24 +152,44 @@ def sweep(
     )
 
 
+def _snap_width(n: int, n_dev: int, width0: int, bucket: Optional[int]) -> int:
+    """Launch width for a compaction stage: the smallest power-of-two
+    multiple of the device count that fits ``n`` lanes (so distinct widths
+    -- and therefore XLA compiles -- stay O(log) across stages and reruns
+    hit the persistent compile cache), clamped to the full-grid width and
+    to an optional ``bucket`` chunk cap."""
+    per_dev = -(-n // n_dev)
+    w = n_dev * (1 << max(0, (per_dev - 1).bit_length()))
+    w = min(w, -(-width0 // n_dev) * n_dev)
+    if bucket is not None:
+        w = min(w, max(-(-int(bucket) // n_dev) * n_dev, n_dev))
+    return max(w, n_dev)
+
+
 def _sweep_fused(times, lambdas, data, splits, mi_template, pu_template, *,
-                 tol, mesh, sample_date, phase1_maxiter=64, bucket=256,
-                 maxiter=1000, **spec_flags):
-    """One-compile grid sweep via engine.sweep_fused, with straggler
-    compaction.
+                 tol, mesh, sample_date, stage_caps=(16, 32, 64, 128, 256),
+                 bucket=None, maxiter=1000, phase1_maxiter=None, **spec_flags):
+    """One-compile grid sweep via engine.sweep_fused, with MULTI-STAGE
+    straggler compaction.
 
     Lockstep fits pay for the SLOWEST lane every iteration: a few
     non-convergent cells (rate running to the boundary at wrong split
-    times) hit maxiter=1000 while the p95 cell converges in <30 iterations
-    (SWEEPBENCH_r03.json nfev table).  So the sweep runs in two phases:
-    phase 1 gives every cell ``phase1_maxiter`` iterations; the unconverged
-    cells are then compacted into ``bucket``-wide batches and resumed from
-    their exact NMState to ``maxiter``.  Because Nelder-Mead is Markov in
-    (simplex, fsim, it), the two-phase trajectory is identical to an
-    uninterrupted run (tests/test_sweep_fused.py pins this).  Even when
-    MANY cells resume, sequential ``bucket``-wide chunks cost no more than
-    the full-width lockstep they replace (per-iteration cost is mostly
-    width-independent overhead).
+    times) hit maxiter=1000 while the median cell converges in ~21
+    iterations (SWEEPBENCH_r03.json nfev table) -- a single full-width
+    lockstep run wastes ~98% of its evaluated points on frozen lanes.  So
+    the sweep runs a stage schedule: every cell gets ``stage_caps[0]``
+    iterations at full width; after each stage the still-unconverged cells
+    are compacted into a power-of-two-wide batch (see `_snap_width`) and
+    resumed from their exact NMState to the next cap, until the final stage
+    runs the surviving stragglers to ``maxiter``.  Because Nelder-Mead is
+    Markov in (simplex, fsim, it), the staged trajectory is identical to an
+    uninterrupted run (tests/test_sweep_fused.py pins this).  The per-stage
+    iteration cap is a TRACED scalar, so all stages of one width share a
+    single compiled program.
+
+    ``phase1_maxiter`` (round-3 API) overrides the schedule with the single
+    stage ``(phase1_maxiter,)``; ``bucket`` optionally caps the compacted
+    launch width (chunks run sequentially).
     """
     from .optimize import NMState
     from .sweep_fused import build_fused_sweep
@@ -173,25 +205,30 @@ def _sweep_fused(times, lambdas, data, splits, mi_template, pu_template, *,
     cell_data = np.tile(data, (len(splits), 1))
     x0 = np.tile(fs.init_params, (n_cells, 1))
 
+    if phase1_maxiter is not None:
+        stage_caps = (int(phase1_maxiter),)
+    caps = sorted({int(c) for c in stage_caps if 0 < int(c) < maxiter})
+    caps.append(int(maxiter))
+
     if fs.n_params:
-        def fit_phase1(st_i, x0_i, d_i):
+        def fit_start(cap, st_i, x0_i, d_i):
             res, st = nelder_mead(
                 lambda p: -fs.llh(st_i, p, d_i), x0_i, xatol=tol, fatol=tol,
-                maxiter=min(phase1_maxiter, maxiter), with_state=True,
+                maxiter=cap, with_state=True,
             )
             return res.x, -res.fun, res.nfev, res.converged, st
 
-        def fit_phase2(st_i, d_i, sim, fsim, it, nfev0):
+        def fit_resume(cap, st_i, d_i, sim, fsim, it, nfev0):
             st = NMState(sim=sim, fsim=fsim, it=it, nfev=nfev0,
                          aux_sum=jnp.zeros(0, sim.dtype))
-            res = nelder_mead(
+            res, stn = nelder_mead(
                 lambda p: -fs.llh(st_i, p, d_i),
                 jnp.zeros(fs.n_params, sim.dtype), xatol=tol, fatol=tol,
-                maxiter=maxiter, state0=st,
+                maxiter=cap, state0=st, with_state=True,
             )
-            return res.x, -res.fun, res.nfev
+            return res.x, -res.fun, res.nfev, res.converged, stn
     else:
-        def fit_phase1(st_i, x0_i, d_i):
+        def fit_start(cap, st_i, x0_i, d_i):
             llh = fs.llh(st_i, jnp.zeros(0), d_i)
             return (jnp.zeros(0), llh, jnp.asarray(1), jnp.asarray(True),
                     NMState(sim=jnp.zeros((1, 0)), fsim=-llh[None],
@@ -201,13 +238,15 @@ def _sweep_fused(times, lambdas, data, splits, mi_template, pu_template, *,
     import sys
     import time
 
-    run1 = jax.jit(jax.vmap(fit_phase1))
+    run_start = jax.jit(jax.vmap(fit_start, in_axes=(None, 0, 0, 0)))
     sp, orig = pad_to_multiple(st_idx, n_dev)
     dp, _ = pad_to_multiple(cell_data, n_dev, fill=1.0)
     xp, _ = pad_to_multiple(x0, n_dev)
+    width0 = sp.shape[0]
     t0 = time.perf_counter()
     with mesh:
-        x, llh, nfev, conv, states = run1(
+        x, llh, nfev, conv, states = run_start(
+            jnp.asarray(caps[0]),
             shard_replicates(mesh, sp),
             shard_replicates(mesh, xp),
             shard_replicates(mesh, dp),
@@ -215,42 +254,54 @@ def _sweep_fused(times, lambdas, data, splits, mi_template, pu_template, *,
     x = np.array(x)[:orig]
     llh = np.array(llh)[:orig]
     nfev = np.array(nfev)[:orig]
-    conv = np.asarray(conv)[:orig]
+    conv = np.array(conv)[:orig]
 
-    print(f"# sweep phase 1: {orig} cells, {time.perf_counter() - t0:.1f} s "
-          f"(incl any compile), unconverged {int((~conv).sum())}",
-          file=sys.stderr)
-    t0 = time.perf_counter()
+    print(f"# sweep stage 1/{len(caps)}: {orig} cells to cap {caps[0]}, "
+          f"{time.perf_counter() - t0:.1f} s (incl any compile), "
+          f"unconverged {int((~conv).sum())}", file=sys.stderr)
 
-    todo = np.flatnonzero(~conv)
-    if fs.n_params and todo.size and phase1_maxiter < maxiter:
-        run2 = jax.jit(jax.vmap(fit_phase2))
-        sim_all = np.asarray(states.sim)
-        fsim_all = np.asarray(states.fsim)
-        it_all = np.asarray(states.it)
-        nfev_all = np.asarray(states.nfev)
-        bucket = max(int(bucket), n_dev)
-        bucket = -(-bucket // n_dev) * n_dev
-        for k in range(0, todo.size, bucket):
-            chunk = todo[k : k + bucket]
-            idx = np.concatenate(
-                [chunk, np.full(bucket - chunk.size, chunk[0], chunk.dtype)]
-            )
-            with mesh:
-                x2, llh2, nfev2 = run2(
-                    shard_replicates(mesh, sp[idx]),
-                    shard_replicates(mesh, dp[idx]),
-                    shard_replicates(mesh, sim_all[idx]),
-                    shard_replicates(mesh, fsim_all[idx]),
-                    shard_replicates(mesh, it_all[idx]),
-                    shard_replicates(mesh, nfev_all[idx]),
+    if fs.n_params and len(caps) > 1:
+        run_resume = jax.jit(
+            jax.vmap(fit_resume, in_axes=(None, 0, 0, 0, 0, 0, 0))
+        )
+        sim_all = np.array(states.sim)[:orig]
+        fsim_all = np.array(states.fsim)[:orig]
+        it_all = np.array(states.it)[:orig]
+        nfev_all = np.array(states.nfev)[:orig]
+        for si, cap in enumerate(caps[1:], start=2):
+            todo = np.flatnonzero(~conv)
+            if todo.size == 0:
+                break
+            t0 = time.perf_counter()
+            width = _snap_width(todo.size, n_dev, width0, bucket)
+            for k in range(0, todo.size, width):
+                chunk = todo[k : k + width]
+                idx = np.concatenate(
+                    [chunk, np.full(width - chunk.size, chunk[0], chunk.dtype)]
                 )
-            m = chunk.size
-            x[chunk] = np.asarray(x2)[:m]
-            llh[chunk] = np.asarray(llh2)[:m]
-            nfev[chunk] = np.asarray(nfev2)[:m]
-        print(f"# sweep phase 2: {todo.size} resumed cells, "
-              f"{time.perf_counter() - t0:.1f} s", file=sys.stderr)
+                with mesh:
+                    x2, llh2, nfev2, conv2, st2 = run_resume(
+                        jnp.asarray(cap),
+                        shard_replicates(mesh, sp[idx]),
+                        shard_replicates(mesh, dp[idx]),
+                        shard_replicates(mesh, sim_all[idx]),
+                        shard_replicates(mesh, fsim_all[idx]),
+                        shard_replicates(mesh, it_all[idx]),
+                        shard_replicates(mesh, nfev_all[idx]),
+                    )
+                m = chunk.size
+                x[chunk] = np.asarray(x2)[:m]
+                llh[chunk] = np.asarray(llh2)[:m]
+                nfev[chunk] = np.asarray(nfev2)[:m]
+                conv[chunk] = np.asarray(conv2)[:m]
+                sim_all[chunk] = np.asarray(st2.sim)[:m]
+                fsim_all[chunk] = np.asarray(st2.fsim)[:m]
+                it_all[chunk] = np.asarray(st2.it)[:m]
+                nfev_all[chunk] = np.asarray(st2.nfev)[:m]
+            print(f"# sweep stage {si}/{len(caps)}: {todo.size} cells "
+                  f"resumed to cap {cap} at width {width}, "
+                  f"{time.perf_counter() - t0:.1f} s, "
+                  f"unconverged {int((~conv).sum())}", file=sys.stderr)
 
     return SweepResult(
         split_times=np.asarray(splits, float),

@@ -463,9 +463,12 @@ def build_likelihood(
         valid = nonneg & valid_corr & pos
         llh = jnp.where(valid, llh, -jnp.inf)
         # Report() counter semantics (MigrationInference.py:306,336,347,567):
-        # the correction sweep is "called" once per eval that passes the
-        # negative-rate guard, and "failed" when it yields any rate <= 0.
-        corr_called = nonneg & jnp.asarray(bool(spec.correct) and s > 0)
+        # CorrectLambdas() increments CORRECTION_CALLED at its top, and it is
+        # invoked once per eval that passes the negative-rate guard EVEN when
+        # correction is disabled (trueEPS) or splitT == 0 -- so "called"
+        # depends only on the guard; "failed" fires when the sweep actually
+        # runs and yields any rate <= 0 (valid_corr is True otherwise).
+        corr_called = nonneg
         return llh, {"jafs": jafs, "lc": lc, "pr": pr, "valid": valid,
                      "mi": mi, "pu": pu, "corr_called": corr_called,
                      "corr_failed": corr_called & ~valid_corr}

@@ -35,8 +35,11 @@ class NMResult(NamedTuple):
     fun: jax.Array  # scalar best objective
     nit: jax.Array  # iterations used
     converged: jax.Array  # bool
-    nfev: jax.Array = jnp.asarray(0)  # objective evaluations performed
-    aux_sum: jax.Array = jnp.zeros(0)  # accumulated per-eval aux counters
+    # Backend-neutral defaults: concrete jnp defaults would initialise the
+    # JAX backend at import time, before config.setup_platform() can force
+    # CPU (the sitecustomize pins the axon platform; see CLAUDE.md).
+    nfev: "jax.Array | int" = 0  # objective evaluations performed
+    aux_sum: "jax.Array | None" = None  # accumulated per-eval aux counters
 
 
 class NMState(NamedTuple):
@@ -202,30 +205,54 @@ def nelder_mead(
     return res
 
 
+class SolveResult:
+    """Fit result that unpacks like the reference's ``[params, llh]`` pair
+    but also carries the run's Report() counters
+    (MigrationInference.py:36-38, 735-739) as a reentrant record."""
+
+    def __init__(self, x, llh, nit=0, nfev=0, corr_called=0, corr_failed=0):
+        self.x = np.asarray(x)
+        self.llh = float(llh)
+        self.nit = int(nit)
+        self.nfev = int(nfev)
+        self.corr_called = int(corr_called)
+        self.corr_failed = int(corr_failed)
+
+    def __iter__(self):
+        return iter((self.x, self.llh))
+
+    def __getitem__(self, i):
+        return (self.x, self.llh)[i]
+
+    def __len__(self):
+        return 2
+
+    def __repr__(self):
+        # print(sol) must render exactly like the reference's [params, llh]
+        # list (MiSTI.py:215) for drop-in stdout parity
+        return repr([self.x, self.llh])
+
+
 def solve(lik, tol: float = 1e-4, global_opt: bool = False, seed: int = 0,
-          trace: bool = False, n_hops: int = 100):
+          trace: bool = False, n_hops: int = 100) -> SolveResult:
     """Reference ``Solve`` (MigrationInference.py:718-733): maximise the llh.
 
-    Returns [params, llh].  With no optimised parameters, evaluates once.
-    ``global_opt`` runs a basin-hopping outer loop (T=0.5, Nelder-Mead local
-    minimiser) on the host around the device NM, like the reference's
-    scipy.optimize.basinhopping call.  ``trace`` prints every evaluated
-    (mu, -llh) like the reference's ObjectiveFunction
+    Returns a :class:`SolveResult` that unpacks like the reference's
+    ``[params, llh]`` and carries the Report() counters (``nit``/``nfev``/
+    ``corr_called``/``corr_failed``).  With no optimised parameters,
+    evaluates once.  ``global_opt`` runs a basin-hopping outer loop (T=0.5,
+    Nelder-Mead local minimiser) on the host around the device NM, like the
+    reference's scipy.optimize.basinhopping call.  ``trace`` prints every
+    evaluated (mu, -llh) like the reference's ObjectiveFunction
     (MigrationInference.py:713-716).
-
-    After the call, ``solve.last_nit`` / ``last_nfev`` / ``last_corr_called``
-    / ``last_corr_failed`` hold the run's Report() counters
-    (MigrationInference.py:36-38, 735-739).
     """
     spec = lik.spec
     init = spec.init_params
-    solve.last_nit = 0
     if spec.n_params == 0:
         llh, flags = jax.jit(lik.llh_flags)(np.zeros(0))
-        solve.last_nfev = 1
-        solve.last_corr_called = int(flags[0])
-        solve.last_corr_failed = int(flags[1])
-        return [np.zeros(0), float(llh)]
+        return SolveResult(np.zeros(0), float(llh), nfev=1,
+                           corr_called=int(flags[0]),
+                           corr_failed=int(flags[1]))
 
     def obj(p):
         llh, flags = lik.llh_flags(p)
@@ -235,15 +262,17 @@ def solve(lik, tol: float = 1e-4, global_opt: bool = False, seed: int = 0,
 
     nm = jax.jit(lambda x0: nelder_mead(obj, x0, xatol=tol, fatol=tol, naux=2))
 
-    def record(res_list):
-        solve.last_nit = sum(int(r.nit) for r in res_list)
-        solve.last_nfev = sum(int(r.nfev) for r in res_list)
-        solve.last_corr_called = sum(int(r.aux_sum[0]) for r in res_list)
-        solve.last_corr_failed = sum(int(r.aux_sum[1]) for r in res_list)
+    def record(x, f, res_list):
+        return SolveResult(
+            x, -f,
+            nit=sum(int(r.nit) for r in res_list),
+            nfev=sum(int(r.nfev) for r in res_list),
+            corr_called=sum(int(r.aux_sum[0]) for r in res_list),
+            corr_failed=sum(int(r.aux_sum[1]) for r in res_list),
+        )
 
     if not global_opt:
         res = nm(jnp.asarray(init, jnp.result_type(float)))
-        record([res])
         # scipy disp-style summary (the reference passes disp=True)
         if bool(res.converged):
             print("Optimization terminated successfully.")
@@ -252,7 +281,7 @@ def solve(lik, tol: float = 1e-4, global_opt: bool = False, seed: int = 0,
         print(f"         Current function value: {float(res.fun):f}")
         print(f"         Iterations: {int(res.nit)}")
         print(f"         Function evaluations: {int(res.nfev)}")
-        return [np.asarray(res.x), float(-res.fun)]
+        return record(np.asarray(res.x), float(res.fun), [res])
 
     # basin-hopping: random displacement + Metropolis accept at T=0.5, with
     # scipy's AdaptiveStepsize schedule (interval=50, factor=0.9, target
@@ -281,8 +310,7 @@ def solve(lik, tol: float = 1e-4, global_opt: bool = False, seed: int = 0,
         if fx <= cur_f or rng.random() < np.exp(-(fx - cur_f) / temp):
             cur_x, cur_f = np.asarray(r.x), fx
             naccept += 1
-    record(all_res)
-    return [best_x, float(-best_f)]
+    return record(best_x, best_f, all_res)
 
 
 def solve_batch(lik, x0_batch, tol: float = 1e-4):

@@ -103,7 +103,6 @@ def build_fused_sweep(
     lh_post = np.ones((S, n_post, 2))
     catmask = np.ones((S, s_max, 7))
     is_sample = np.zeros((S, s_max), dtype=bool)
-    smooth_w = np.zeros((S, s_max, s_max))
     mi_base = np.zeros((S, numT, 2))
     pu_base = np.zeros((S, numT, 2))
     mi_masks = np.zeros((S, max(n_par, 1), numT, 2))
@@ -120,8 +119,6 @@ def build_fused_sweep(
         catmask[i, :sd, 2:] = 0.0
         if sd < st:
             is_sample[i, sd] = True
-        if sp.smooth_w is not None:
-            smooth_w[i, :st, :st] = 0.0  # filled below per genome
         mi_base[i] = sp.mi_base
         pu_base[i] = sp.pu_base
         # pulses at t >= split are never applied by the reference (its loops

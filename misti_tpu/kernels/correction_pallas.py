@@ -78,12 +78,20 @@ def _corr_mat(l0, l1, m0, m1):
 
 
 def _scaling(a, max_squarings):
-    """Per-lane squaring count + scaled matrix (same rule as kernels/expm.py)."""
+    """Per-lane squaring count + scaled matrix (same rule as kernels/expm.py).
+
+    Lanes whose one-norm exceeds ``2^max_squarings`` are NaN-poisoned instead
+    of silently clamped (mirroring the `expm_action_pair` cost guard,
+    kernels/expm.py): a runaway trial rate would otherwise get an inaccurate
+    Taylor-18 expm whose wrong-but-finite lc could pass the lc > 0 validity
+    check.  The NaN flows through the final chain into p_after -> nc -> the
+    spectrum, where the positivity mask turns the lane's llh into -inf."""
     norm = _m3_onenorm(a)
     s = jnp.maximum(0.0, jnp.ceil(jnp.log2(jnp.maximum(norm, 1e-30))))
     s = jnp.where(jnp.isfinite(norm) & (norm > 0), s, 0.0)
+    over = s > float(max_squarings)
     s = jnp.minimum(s, float(max_squarings))
-    scale = jnp.exp2(-s)
+    scale = jnp.where(over, jnp.nan, jnp.exp2(-s))
     return tuple(x * scale for x in a), s, scale
 
 

@@ -127,10 +127,12 @@ def test_basinhopping_escapes_local_minimum():
 
 
 def test_report_counters():
-    """solve() exposes the reference Report() counters
-    (MigrationInference.py:36-38): nfev counts every evaluated candidate,
-    corr_called every eval past the negative-rate guard, corr_failed every
-    eval whose corrected rates went non-positive."""
+    """solve() returns the reference Report() counters in a SolveResult
+    record (MigrationInference.py:36-38): nfev counts every evaluated
+    candidate, corr_called every eval past the negative-rate guard
+    (CorrectLambdas increments CORRECTION_CALLED at its top even under
+    trueEPS, MigrationInference.py:306,325), corr_failed every eval whose
+    corrected rates went non-positive."""
     fx = load_fixture("solve.npz")
     spec = build_spec(
         list(fx["times"]), [list(v) for v in fx["lams"]], list(fx["sfs"]),
@@ -138,17 +140,20 @@ def test_report_counters():
         unfolded=True, smooth=False,
     )
     lik = build_likelihood(spec)
-    x, llh = solve(lik, tol=1e-4)
+    sol = solve(lik, tol=1e-4)
+    x, llh = sol  # unpacks like the reference's [params, llh]
+    assert llh == sol.llh and np.array_equal(x, sol.x)
     n = 1
-    assert solve.last_nfev >= (n + 1) + solve.last_nit - 1
-    assert 0 < solve.last_corr_called <= solve.last_nfev
-    assert 0 <= solve.last_corr_failed <= solve.last_corr_called
-    # trueEPS: the correction sweep is never entered
+    assert sol.nfev >= (n + 1) + sol.nit - 1
+    assert 0 < sol.corr_called <= sol.nfev
+    assert 0 <= sol.corr_failed <= sol.corr_called
+    # trueEPS: CorrectLambdas is still CALLED once per guarded eval (it just
+    # skips the solves), and can never fail
     spec_t = build_spec(
         list(fx["times"]), [list(v) for v in fx["lams"]], list(fx["sfs"]),
         float(fx["splitT"]), [list(v) for v in fx["mi"]], [],
         unfolded=True, smooth=False, correct=False,
     )
-    solve(build_likelihood(spec_t), tol=1e-4)
-    assert solve.last_corr_called == 0
-    assert solve.last_corr_failed == 0
+    sol_t = solve(build_likelihood(spec_t), tol=1e-4)
+    assert 0 < sol_t.corr_called <= sol_t.nfev
+    assert sol_t.corr_failed == 0

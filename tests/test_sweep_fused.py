@@ -107,11 +107,11 @@ def test_fused_sweep_pallas_correction_trace_matches_scan():
         np.testing.assert_allclose(float(batch[k]), b, rtol=1e-7, atol=1e-5)
 
 
-def test_two_phase_compaction_matches_single_phase():
-    """Straggler compaction (phase-1 cap + compacted NMState resume) must
-    reproduce the uninterrupted lockstep sweep exactly -- Nelder-Mead is
-    Markov in (simplex, fsim, it), so pausing and resuming cannot change
-    the trajectory, the counters, or which cells converge."""
+def test_multi_stage_compaction_matches_single_phase():
+    """Straggler compaction (staged iteration caps + compacted NMState
+    resume) must reproduce the uninterrupted lockstep sweep exactly --
+    Nelder-Mead is Markov in (simplex, fsim, it), so pausing and resuming
+    cannot change the trajectory, the counters, or which cells converge."""
     from misti_tpu.engine.bootstrap import sweep
 
     times, lams = _toy()
@@ -119,14 +119,19 @@ def test_two_phase_compaction_matches_single_phase():
     base = np.array([3000.0, 800, 2900, 1500, 1200, 850, 1250])
     data = np.stack([base * rng.uniform(0.9, 1.1, size=7) for _ in range(5)])
     kw = dict(tol=1e-4, cpfit=True, smooth=False, unfolded=True)
-    # phase1_maxiter=3 forces nearly every cell through the resume path
-    r2 = sweep(times, lams, data, [4, 7], [[1, 0, "ST", 0.25, 1]], (),
-               phase1_maxiter=3, bucket=4, **kw)
     r1 = sweep(times, lams, data, [4, 7], [[1, 0, "ST", 0.25, 1]], (),
                phase1_maxiter=10_000, **kw)
-    np.testing.assert_array_equal(r2.llh, r1.llh)
-    np.testing.assert_array_equal(r2.params, r1.params)
-    np.testing.assert_array_equal(r2.nfev, r1.nfev)
+    # round-3 two-phase API: phase1_maxiter=3 forces nearly every cell
+    # through the resume path, bucket=4 forces multiple chunks
+    r2 = sweep(times, lams, data, [4, 7], [[1, 0, "ST", 0.25, 1]], (),
+               phase1_maxiter=3, bucket=4, **kw)
+    # multi-stage schedule: several resume rounds at shrinking widths
+    r3 = sweep(times, lams, data, [4, 7], [[1, 0, "ST", 0.25, 1]], (),
+               stage_caps=(2, 5, 9, 14), **kw)
+    for r in (r2, r3):
+        np.testing.assert_array_equal(r.llh, r1.llh)
+        np.testing.assert_array_equal(r.params, r1.params)
+        np.testing.assert_array_equal(r.nfev, r1.nfev)
 
 
 def test_fused_sweep_with_pulse_template_matches_per_split():
