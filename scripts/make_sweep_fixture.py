@@ -77,12 +77,23 @@ def main() -> int:
     base = np.asarray(aux["jafs"])
     print("model-derived JSFS:", np.round(base, 4))
 
+    # Per-chunk Dirichlet overdispersion (alpha = 30 * base): real genomic
+    # chunks vary (mutation-rate variation, linkage), and the chunk-level
+    # variance is exactly what the bootstrap resamples.  Round 3 drew every
+    # chunk from ONE multinomial base, so all 101 replicates argmaxed the
+    # same split index and the Student-t CI was degenerate
+    # (SWEEPBENCH_r03.json).  alpha = 30 was tuned with
+    # scripts/tune_sweep_fixture.py: full-data argmax stays at the true
+    # split (24) while bootstrap argmaxes spread over ~3 adjacent indices
+    # ({23: 7, 24: 46, 25: 8} of 61 at the true rate), so the CI machinery
+    # (bs_conf_int.ipynb cells 2-3) is actually stressed.
     rng = np.random.default_rng(7)
+    p_norm = base / base.sum()
     rows = []
     for _ in range(200):
         length = int(rng.uniform(0.8, 1.2) * 13_500_000)
         n_seg = rng.poisson(4200)
-        counts = rng.multinomial(n_seg, base / base.sum())
+        counts = rng.multinomial(n_seg, rng.dirichlet(30.0 * p_norm))
         rows.append([length, *counts])
     with open(os.path.join(FIXDIR, "sweep.jsfs"), "w") as f:
         f.write("#MiSTI_JSFS version 1.0\n")
