@@ -6,8 +6,10 @@ Each ``*_main`` mirrors one reference script's CLI and output format:
 * ms2jsfs      -- msHOT-lite `-l` output -> chunked JSFS (MS2JSFS.py)
 * scrm2jafs    -- scrm/ms `positions` output -> normalised JSFS (SCRM2JAFS.py)
 * merge_jsfs   -- merge many JSFS files/dirs (MergeJSFS.py; the reference
-                  prints only the LAST file's rows -- a bug -- here all rows
-                  are concatenated, its evident intent)
+                  prints its loop's last `jaf`, which accumulates ALL files'
+                  rows only through the JAFS class's shared mutable default
+                  list (migrationIO.py:38-40) -- here the concatenation is
+                  explicit and the output bytes are identical)
 * generate_jsfs_bs -- true SFS + N bootstrap rows (generateJSFS_bs.py)
 * calc_time    -- merged-interval index -> generations table (calc_time.py)
 * ttmethod     -- TT-method split-time estimator (ttmethod.py)

@@ -112,8 +112,12 @@ def bootstrap_jafs(jafs: Jafs, normalize: bool = False, rng: Optional[random.Ran
     return sfs
 
 
-def print_jafs_file(jaf, pop1=False, pop2=False, file: TextIO = sys.stdout) -> None:
-    """Write the canonical JSFS format (reference PrintJAFSFile)."""
+def print_jafs_file(jaf, pop1=False, pop2=False, file: Optional[TextIO] = None) -> None:
+    """Write the canonical JSFS format (reference PrintJAFSFile).
+
+    ``file`` defaults to the CURRENT sys.stdout at call time (a def-time
+    default would bypass redirect_stdout and any CLI output capture)."""
+    file = file if file is not None else sys.stdout
     print("#MiSTI_JSFS version 1.0", file=file)
     if pop1:
         print("#pop1", str(pop1).strip("\n\r"), sep="\t", file=file)
