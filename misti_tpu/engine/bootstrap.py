@@ -72,9 +72,10 @@ def sweep(
 
     ``fused=True`` (default) compiles ONE program with the split time as a
     data index and runs the whole (split x replicate) grid as a single
-    sharded lockstep Nelder-Mead; ``fused=False`` compiles one program per
-    split time (useful for fractional split times, which the fused path
-    does not support).
+    sharded lockstep Nelder-Mead; fractional split times are supported
+    (each lane's containing interval is pre-split on the host, the same
+    preprocessing as build_spec).  ``fused=False`` compiles one program
+    per split time (the validation path).
 
     ``stage_caps``/``bucket``/``maxiter`` tune the fused path's straggler
     compaction (see `_sweep_fused`); they are explicit parameters (not
@@ -87,24 +88,13 @@ def sweep(
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
 
-    if fused and all(float(st) == int(st) for st in split_times):
-        return _sweep_fused(times, lambdas, data, [int(v) for v in split_times],
+    if fused:
+        return _sweep_fused(times, lambdas, data,
+                            [float(v) for v in split_times],
                             mi_template, pu_template, tol=tol, mesh=mesh,
                             sample_date=sample_date, stage_caps=stage_caps,
                             bucket=bucket, maxiter=maxiter,
                             phase1_maxiter=phase1_maxiter, **spec_flags)
-    if fused:
-        import sys
-        import warnings
-
-        msg = (
-            "sweep: fractional split times disable the one-compile fused "
-            "grid; compiling one program PER split time instead (on TPU "
-            "this costs minutes of compile per split). Use integer split "
-            "indices for the fused path."
-        )
-        warnings.warn(msg, RuntimeWarning, stacklevel=2)
-        print(f"WARNING: {msg}", file=sys.stderr)
 
     all_params = []
     all_llh = []
@@ -190,6 +180,13 @@ def _sweep_fused(times, lambdas, data, splits, mi_template, pu_template, *,
     ``phase1_maxiter`` (round-3 API) overrides the schedule with the single
     stage ``(phase1_maxiter,)``; ``bucket`` optionally caps the compacted
     launch width (chunks run sequentially).
+
+    On a single device the stage programs go through the AOT export cache
+    (engine/aot.py): warm CLI reruns of the same scenario deserialize the
+    traced programs instead of re-tracing them -- tracing is the dominant
+    warm cost (~20-40 s per program shape vs ~2 s of device compute for a
+    whole 808-cell grid, scripts/tpu_probe_sweep.py).  Disable with
+    ``MISTI_AOT=0``.
     """
     from .optimize import NMState
     from .sweep_fused import build_fused_sweep
@@ -238,7 +235,18 @@ def _sweep_fused(times, lambdas, data, splits, mi_template, pu_template, *,
     import sys
     import time
 
+    from .aot import CachedProgram, aot_enabled, scenario_key
+
     run_start = jax.jit(jax.vmap(fit_start, in_axes=(None, 0, 0, 0)))
+    use_aot = aot_enabled() and n_dev == 1
+    if use_aot:
+        skey = scenario_key(
+            np.asarray(times, float), np.asarray(lambdas, float), splits,
+            mi_template, pu_template, sample_date,
+            sorted(spec_flags.items()), tol, fs.n_params,
+        )
+        run_start = CachedProgram(run_start, "sweep-start-" + skey,
+                                  verbose=True)
     sp, orig = pad_to_multiple(st_idx, n_dev)
     dp, _ = pad_to_multiple(cell_data, n_dev, fill=1.0)
     xp, _ = pad_to_multiple(x0, n_dev)
@@ -264,6 +272,9 @@ def _sweep_fused(times, lambdas, data, splits, mi_template, pu_template, *,
         run_resume = jax.jit(
             jax.vmap(fit_resume, in_axes=(None, 0, 0, 0, 0, 0, 0))
         )
+        if use_aot:
+            run_resume = CachedProgram(run_resume, "sweep-resume-" + skey,
+                                       verbose=True)
         sim_all = np.array(states.sim)[:orig]
         fsim_all = np.array(states.fsim)[:orig]
         it_all = np.array(states.it)[:orig]

@@ -510,6 +510,10 @@ def build_likelihood(
         llh=jax.jit(llh_only),
         llh_aux=jax.jit(llh_aux),
         llh_batch=jax.jit(jax.vmap(llh_only)),
-        llh_data=llh_data,
+        # jit here too: an eager call would dispatch per-primitive compiles
+        # (one per scan) whose device assignment depends on ambient context
+        # -- and XLA:CPU has segfaulted compiling such eager scans after
+        # sharded multi-device tests ran in the same process
+        llh_data=jax.jit(llh_data),
         llh_flags=llh_flags,
     )

@@ -51,7 +51,7 @@ class FusedSweep:
 def build_fused_sweep(
     times: Sequence[float],
     lambdas,
-    split_times: Sequence[int],
+    split_times: Sequence[float],
     mi_template=(),
     pu_template=(),
     *,
@@ -65,20 +65,28 @@ def build_fused_sweep(
 ) -> FusedSweep:
     """Build the fused sweep function.
 
-    ``mi_template`` rows may use "ST" for start/end to mean the split index
-    (the test.bs convention).  All split times must be integers.
+    ``mi_template`` rows may use "ST" for start/end to mean the (floor of
+    the) split index (the test.bs convention).  Split times may be
+    FRACTIONAL: each lane's spec pre-splits its containing interval on the
+    host (the same preprocessing as build_spec / the reference
+    MigrationInference.py:89-99), so lanes simply carry different
+    per-interval tables -- the kernel shape is unchanged and one compile
+    still covers the whole grid.
     """
-    splits = [int(v) for v in split_times]
+    splits = [float(v) for v in split_times]
     b2 = ss.two_pop_basis()
     b1 = ss.one_pop_basis()
 
-    # per-split specs (host side; also validates the model per split)
+    # per-split specs (host side; also validates the model per split).
+    # "ST" means floor(st): textual substitution happens before the
+    # fractional interval insert, exactly like the reference shell scripts.
     specs = []
     for st in splits:
-        mi = [[int(r[0]), st if r[1] == "ST" else int(r[1]),
-               st if r[2] == "ST" else int(r[2]), float(r[3]), int(r[4])]
+        st_i = int(st)
+        mi = [[int(r[0]), st_i if r[1] == "ST" else int(r[1]),
+               st_i if r[2] == "ST" else int(r[2]), float(r[3]), int(r[4])]
               for r in mi_template]
-        pu = [[int(r[0]), st if r[1] == "ST" else int(r[1]), float(r[2]),
+        pu = [[int(r[0]), st_i if r[1] == "ST" else int(r[1]), float(r[2]),
                int(r[3])] for r in pu_template]
         specs.append(
             build_spec(
@@ -88,13 +96,15 @@ def build_fused_sweep(
                 mixture_th=mixture_th,
             )
         )
-    numT = specs[0].numT
     n_par = specs[0].n_params
-    s_max = max(splits)
-    n_post = numT - 1 - min(splits)
+    # post-fractional-split grid sizes (splitT/numT grow by 1 when st % 1)
+    s_of = [sp.splitT for sp in specs]
+    s_max = max(s_of)
+    n_post = max(sp.numT - 1 - sp.splitT for sp in specs)
     sd = int(sample_date)
 
-    # stacked per-split tables, padded to (s_max / n_post)
+    # stacked per-split tables, padded to (s_max / n_post); each spec
+    # carries its OWN grid (fractional splits insert an interval)
     S = len(splits)
     t_pre = np.zeros((S, s_max))
     lh_pre = np.ones((S, s_max, 2))
@@ -103,36 +113,38 @@ def build_fused_sweep(
     lh_post = np.ones((S, n_post, 2))
     catmask = np.ones((S, s_max, 7))
     is_sample = np.zeros((S, s_max), dtype=bool)
-    mi_base = np.zeros((S, numT, 2))
-    pu_base = np.zeros((S, numT, 2))
-    mi_masks = np.zeros((S, max(n_par, 1), numT, 2))
-    all_t = np.asarray(specs[0].times)
-    all_lh = np.asarray(specs[0].lh)
-    for i, (st, sp) in enumerate(zip(splits, specs)):
+    mi_base = np.zeros((S, s_max, 2))
+    pu_base = np.zeros((S, s_max, 2))
+    mi_masks = np.zeros((S, max(n_par, 1), s_max, 2))
+    lh_last = np.ones((S, 2))
+    for i, sp in enumerate(specs):
+        st = sp.splitT
+        all_t = np.asarray(sp.times)
+        all_lh = np.asarray(sp.lh)
         t_pre[i, :st] = all_t[:st]
         lh_pre[i, :st] = all_lh[:st]
         pad_pre[i, :st] = False
-        npost_i = numT - 1 - st
-        t_post[i, :npost_i] = all_t[st : numT - 1]
-        lh_post[i, :npost_i] = all_lh[st : numT - 1]
+        npost_i = sp.numT - 1 - st
+        t_post[i, :npost_i] = all_t[st : sp.numT - 1]
+        lh_post[i, :npost_i] = all_lh[st : sp.numT - 1]
         catmask[i, :st] = 1.0
         catmask[i, :sd, 2:] = 0.0
         if sd < st:
             is_sample[i, sd] = True
-        mi_base[i] = sp.mi_base
-        pu_base[i] = sp.pu_base
+        mi_base[i, :st] = sp.mi_base[:st]
         # pulses at t >= split are never applied by the reference (its loops
-        # stop at splitT); zero them so they can't fire in the padded region
-        pu_base[i, st:] = 0.0
+        # stop at splitT); only pre-split rows are stacked
+        pu_base[i, :st] = sp.pu_base[:st]
         for k in range(len(sp.opt_mi)):
-            mi_masks[i, k] = sp.mi_masks[k]
+            mi_masks[i, k, :st] = sp.mi_masks[k][:st]
         for k in range(len(sp.opt_pu)):
-            mi_masks[i, len(sp.opt_mi) + k] = sp.pu_masks[k]
+            mi_masks[i, len(sp.opt_mi) + k, :st] = sp.pu_masks[k][:st]
+        lh_last[i] = all_lh[sp.numT - 1]
 
     smooth_ws = None
     if smooth:
         smooth_ws = np.zeros((S, 2, s_max, s_max))
-        for i, (st, sp) in enumerate(zip(splits, specs)):
+        for i, (st, sp) in enumerate(zip(s_of, specs)):
             smooth_ws[i, :, :st, :st] = sp.smooth_w
             # identity on padding so padded lc rows pass through
             for g in range(2):
@@ -140,7 +152,6 @@ def build_fused_sweep(
                     smooth_ws[i, g, k, k] = 1.0
 
     n_opt_mi = len(specs[0].opt_mi)
-    lh_last = all_lh[numT - 1]
 
     ancient = jnp.asarray(b2.ancient)
     collapse = jnp.asarray(b2.collapse)
@@ -196,9 +207,10 @@ def build_fused_sweep(
         lhq = take(lh_post)
         cmask = take(catmask)
         is_s = take(is_sample)
-        mib = take(mi_base)
+        mib = take(mi_base)  # (s_max, 2): pre-split rows only
         pub = take(pu_base)
-        masks = take(mi_masks)  # (n_par, numT, 2)
+        masks = take(mi_masks)  # (n_par, s_max, 2)
+        lh_l = take(lh_last)  # (2,)
 
         # parameter mapping
         if n_par:
@@ -211,8 +223,8 @@ def build_fused_sweep(
                     + jnp.einsum("k,ktc->tc", params[n_opt_mi:],
                                  masks[n_opt_mi:])
             mib = rates
-        mi_pre = jnp.take(mib, jnp.arange(s_max), axis=0)  # first s_max rows
-        pu_pre = jnp.take(pub, jnp.arange(s_max), axis=0)
+        mi_pre = mib
+        pu_pre = pub
 
         nonneg = jnp.all(params >= 0) if n_par else jnp.asarray(True)
 
@@ -302,7 +314,7 @@ def build_fused_sweep(
 
         pr0 = jnp.exp(nc_fin[0])
         pr1 = jnp.exp(nc_fin[1])
-        lam_last = (pr0 + pr1) / (pr0 / lh_last[0] + pr1 / lh_last[1])
+        lam_last = (pr0 + pr1) / (pr0 / lh_l[0] + pr1 / lh_l[1])
 
         if smooth:
             w = take(smooth_ws)  # (2, s_max, s_max)
@@ -329,8 +341,8 @@ def build_fused_sweep(
         p0, jafs_pre = jax.lax.scan(
             pre_body, p0, (lc_pre, tp, mi_pre, pu_pre, is_s, cmask)
         )
-        # ancient rebase exactly at the split (sd == st)
-        st_val = jnp.take(jnp.asarray(splits), st_idx)
+        # ancient rebase exactly at the split (sd == splitT, post-split grid)
+        st_val = jnp.take(jnp.asarray(s_of), st_idx)
         p0 = jnp.where(sd == st_val, ancient @ p0, p0)
         p8 = collapse @ p0
 

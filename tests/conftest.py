@@ -29,11 +29,12 @@ jax.config.update("jax_enable_x64", True)
 _cache_dir = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
 )
-try:
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-except Exception:
-    pass
+if os.environ.get("MISTI_TEST_CACHE", "1") != "0":
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

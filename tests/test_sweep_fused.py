@@ -134,6 +134,49 @@ def test_multi_stage_compaction_matches_single_phase():
         np.testing.assert_array_equal(r.nfev, r1.nfev)
 
 
+def test_fused_fractional_split_matches_per_split():
+    """Fractional split times through the fused grid: each lane's
+    containing interval is pre-split at build time (the build_spec /
+    MigrationInference.py:89-99 preprocessing), so st = k + 0.5 must equal
+    the dedicated per-split program -- no per-split compile fallback."""
+    times, lams = _toy()
+    splits = [4.5, 6.0, 6.25]
+    data = np.array([3000.0, 800, 2900, 1500, 1200, 850, 1250])
+    fused = build_fused_sweep(
+        times, lams, splits, [[1, 0, "ST", 0.25, 1]], [],
+        cpfit=True, smooth=True, unfolded=True,
+    )
+    fused_llh = jax.jit(fused.llh)
+    for i, st in enumerate(splits):
+        spec = build_spec(
+            times, lams, [0.0, *data], st, [[1, 0, int(st), 0.25, 1]], [],
+            cpfit=True, smooth=True, unfolded=True,
+        )
+        lik = build_likelihood(spec, sequential=False)
+        for rate in (0.25, 0.6):
+            a = float(fused_llh(i, np.array([rate]), data))
+            b = float(lik.llh_data(np.array([rate]), jnp.asarray(data)))
+            np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-6,
+                                       err_msg=f"st={st} rate={rate}")
+
+
+def test_sweep_cli_path_fractional_splits():
+    """sweep() keeps the one-compile fused grid for fractional splits."""
+    from misti_tpu.engine.bootstrap import sweep
+
+    times, lams = _toy()
+    rng = np.random.default_rng(5)
+    base = np.array([3000.0, 800, 2900, 1500, 1200, 850, 1250])
+    data = np.stack([base * rng.uniform(0.9, 1.1, size=7) for _ in range(3)])
+    r = sweep(times, lams, data, [4.5, 6.0], [[1, 0, "ST", 0.25, 1]], (),
+              tol=1e-4, cpfit=True, smooth=False, unfolded=True)
+    assert r.llh.shape == (2, 3) and np.all(np.isfinite(r.llh))
+    # parity with the per-split (fused=False) validation path
+    r0 = sweep(times, lams, data, [4.5, 6.0], [[1, 0, "ST", 0.25, 1]], (),
+               tol=1e-4, cpfit=True, smooth=False, unfolded=True, fused=False)
+    np.testing.assert_allclose(r.llh, r0.llh, rtol=1e-8, atol=1e-6)
+
+
 def test_fused_sweep_with_pulse_template_matches_per_split():
     """Pulse-migration templates ("ST" time placeholder) through the fused
     grid: padded rows must never fire a pulse, and each cell must equal the
