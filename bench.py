@@ -66,12 +66,12 @@ def main() -> int:
     )
     lik = build_likelihood(spec)
 
-    # steady-state batch scaling measured on v5e: see
-    # scripts/bench_scaling.json (round 3).  The vector-path spectrum plus
-    # the trimmed fused-correction budgets peak at batch 2048
-    # (187k evals/s); the round-2 matrix-path spectrum peaked at 28.8k at
-    # B=512 (the 35.2k previously claimed here was not reproducible).
-    batch = int(os.environ.get("MISTI_BENCH_BATCH", "2048"))
+    # steady-state batch scaling measured on v5e (round 4, PERF_ANALYSIS.md):
+    # 212k @ 2048 -> 232k @ 4096 -> 238k @ 8192 evals/s.  4096 is the
+    # representative width -- the production sweep's lockstep Nelder-Mead
+    # evaluates ~4.8k candidates per iteration (808 cells x 6 simplex
+    # points, SWEEPBENCH_r04.json).
+    batch = int(os.environ.get("MISTI_BENCH_BATCH", "4096"))
     params = np.linspace(0.05, 1.2, batch)[:, None]
 
     try:

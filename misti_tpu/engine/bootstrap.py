@@ -237,8 +237,19 @@ def _sweep_fused(times, lambdas, data, splits, mi_template, pu_template, *,
 
     from .aot import CachedProgram, aot_enabled, scenario_key
 
-    run_start = jax.jit(jax.vmap(fit_start, in_axes=(None, 0, 0, 0)))
-    use_aot = aot_enabled() and n_dev == 1
+    # multi-host: the stage scheduler is host logic over the full result
+    # tables, so outputs are REPLICATED across processes (every process
+    # then takes identical compaction decisions -- collective-safe)
+    multiproc = jax.process_count() > 1
+    out_shard = None
+    if multiproc:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        out_shard = NamedSharding(mesh, PartitionSpec())
+
+    run_start = jax.jit(jax.vmap(fit_start, in_axes=(None, 0, 0, 0)),
+                        out_shardings=out_shard)
+    use_aot = aot_enabled() and n_dev == 1 and not multiproc
     if use_aot:
         skey = scenario_key(
             np.asarray(times, float), np.asarray(lambdas, float), splits,
@@ -270,7 +281,8 @@ def _sweep_fused(times, lambdas, data, splits, mi_template, pu_template, *,
 
     if fs.n_params and len(caps) > 1:
         run_resume = jax.jit(
-            jax.vmap(fit_resume, in_axes=(None, 0, 0, 0, 0, 0, 0))
+            jax.vmap(fit_resume, in_axes=(None, 0, 0, 0, 0, 0, 0)),
+            out_shardings=out_shard,
         )
         if use_aot:
             run_resume = CachedProgram(run_resume, "sweep-resume-" + skey,

@@ -229,25 +229,31 @@ def _lm2(res_fn, x0, x1, n_iters, lower0, lower1):
     def clip(a0, a1):
         return jnp.maximum(a0, lower0), jnp.maximum(a1, lower1)
 
-    def cost(a0, a1):
-        r0, r1 = res_fn(a0, a1)
-        return r0 * r0 + r1 * r1
+    def lin_at(a0, a1):
+        """Residual + 2x2 Jacobian in ONE primal pass: jax.linearize shares
+        the expm-bearing primal between the residual and both tangent
+        columns (two jax.jvp calls would re-run the primal)."""
+        one = jnp.ones_like(a0)
+        zero = jnp.zeros_like(a0)
+        (r0, r1), lin = jax.linearize(res_fn, a0, a1)
+        j00, j10 = lin(one, zero)
+        j01, j11 = lin(zero, one)
+        return r0, r1, j00, j10, j01, j11
 
     def body(i, st):
         # NB: `done` is carried as an f32 0/1 mask, not bool -- Mosaic fails
         # to legalize scf.for loops whose carried state mixes i1 vectors with
         # padded-layout f32 vectors (round-1 bench crash: "failed to legalize
         # operation 'scf.for'").  All-f32 carries lower cleanly.
-        x0_, x1_, damp, trust, c, done = st
+        #
+        # The carried (r, J) were computed AT x when x was last accepted, so
+        # each iteration needs only ONE linearize -- at the trial point --
+        # serving as both the acceptance check and, when accepted, the next
+        # iteration's linearization (25% fewer expm passes than the classic
+        # "linearize at x, then evaluate cost at trial" loop, with an
+        # IDENTICAL accept/reject trajectory).
+        x0_, x1_, r0, r1, j00, j10, j01, j11, damp, trust, c, done = st
         doneb = done > 0.5
-        one = jnp.ones_like(x0_)
-        zero = jnp.zeros_like(x0_)
-        # linearize: ONE primal evaluation + two cheap tangent applications
-        # for the 2-column Jacobian (two jax.jvp calls would evaluate the
-        # expm-bearing primal twice more -- ~40% of the kernel's FLOPs)
-        (r0, r1), lin = jax.linearize(res_fn, x0_, x1_)
-        j00, j10 = lin(one, zero)
-        j01, j11 = lin(zero, one)
         a00 = j00 * j00 + j10 * j10 + damp
         a01 = j00 * j01 + j10 * j11
         a11 = j01 * j01 + j11 * j11 + damp
@@ -262,14 +268,19 @@ def _lm2(res_fn, x0, x1, n_iters, lower0, lower1):
         d0 = d0 * shrink
         d1 = d1 * shrink
         xn0, xn1 = clip(x0_ + d0, x1_ + d1)
-        cn = cost(xn0, xn1)
+        rn0, rn1, jn00, jn10, jn01, jn11 = lin_at(xn0, xn1)
+        cn = rn0 * rn0 + rn1 * rn1
         ok = jnp.isfinite(cn) & (cn < c) & ~doneb
         step = jnp.where(
             ok, jnp.sqrt((xn0 - x0_) ** 2 + (xn1 - x1_) ** 2), jnp.inf
         )
-        x0_ = jnp.where(ok, xn0, x0_)
-        x1_ = jnp.where(ok, xn1, x1_)
-        c = jnp.where(ok, cn, c)
+        sel = lambda a, b: jnp.where(ok, a, b)
+        x0_ = sel(xn0, x0_)
+        x1_ = sel(xn1, x1_)
+        r0, r1 = sel(rn0, r0), sel(rn1, r1)
+        j00, j10 = sel(jn00, j00), sel(jn10, j10)
+        j01, j11 = sel(jn01, j01), sel(jn11, j11)
+        c = sel(cn, c)
         damp = jnp.where(
             doneb, damp,
             jnp.clip(jnp.where(ok, damp * 0.25, damp * 4.0), 1e-14, 1e10),
@@ -282,15 +293,16 @@ def _lm2(res_fn, x0, x1, n_iters, lower0, lower1):
             step < 1e-13 * (1.0 + jnp.sqrt(x0_ * x0_ + x1_ * x1_))
         )
         done = jnp.where(doneb, 1.0, 0.0).astype(x0_.dtype)
-        return (x0_, x1_, damp, trust, c, done)
+        return (x0_, x1_, r0, r1, j00, j10, j01, j11, damp, trust, c, done)
 
     x0, x1 = clip(x0, x1)
     trust0 = jnp.maximum(jnp.sqrt(x0 * x0 + x1 * x1), 1.0)
+    r0, r1, j00, j10, j01, j11 = lin_at(x0, x1)
     st = (
-        x0, x1,
+        x0, x1, r0, r1, j00, j10, j01, j11,
         jnp.full_like(x0, 1e-3),
         trust0,
-        cost(x0, x1),
+        r0 * r0 + r1 * r1,
         jnp.zeros_like(x0),
     )
     st = jax.lax.fori_loop(0, n_iters, body, st)
@@ -310,6 +322,7 @@ def _sweep_body(
     unroll: bool,
     shift_fn,
     n_rows: int,
+    max_squarings: int = 10,
 ):
     """The fused sweep on (intervals, lanes) arrays.
 
@@ -344,8 +357,8 @@ def _sweep_body(
         # cap 10: the T -> 1 stretch keeps ||M||_1 = O(rates * T) small
         # (typically < 8); 10 squarings cover norm <= 1024 at Taylor-18
         # accuracy, and each masked squaring step is real VPU work
-        e = _expm3(_corr_mat(x0s, x1s, mu0s, mu1s), max_squarings=10,
-                   unroll=unroll)
+        e = _expm3(_corr_mat(x0s, x1s, mu0s, mu1s),
+                   max_squarings=max_squarings, unroll=unroll)
         if has_pulse:
             # pulses act on the state BEFORE the exponential (column
             # convention q_out = E PU1 PU0 q_in): materialise P = PU1 @ PU0
@@ -399,14 +412,14 @@ def _sweep_body(
 
         def res_general(a0, a1):
             if cpfit:
-                e = _expm3(_corr_mat(a0, a1, mu0s, mu1s), max_squarings=10,
-                           unroll=unroll)
+                e = _expm3(_corr_mat(a0, a1, mu0s, mu1s),
+                           max_squarings=max_squarings, unroll=unroll)
                 cs = [e[0 + j] + e[3 + j] + e[6 + j] for j in range(3)]
                 r0 = cs[0] * p00 + cs[1] * p01 + cs[2] * p02 - jnp.exp(-lh_s0) * s0
                 r1 = cs[0] * p10 + cs[1] * p11 + cs[2] * p12 - jnp.exp(-lh_s1) * s1
                 return r0, r1
             e, k = _expm3_moment(_corr_mat(a0, a1, mu0s, mu1s),
-                                 max_squarings=10, unroll=unroll)
+                                 max_squarings=max_squarings, unroll=unroll)
             cs = [e[0 + j] + e[3 + j] + e[6 + j] for j in range(3)]
             pnc0 = cs[0] * pn00 + cs[1] * pn01 + cs[2] * pn02
             pnc1 = cs[0] * pn10 + cs[1] * pn11 + cs[2] * pn12
@@ -536,16 +549,20 @@ def build_fused_correction(
     mixture_th: float = 0.0,
     static_no_mig: bool = False,
     has_pulse: bool = True,
-    # Jacobi/LM budgets: measured on the bench workload (f64, vs the
-    # sequential oracle), rounds/iters0/warm of 4/20/6 and even 3/16/5 agree
-    # with the full 6/48/12 budget to 1e-11 (cpfit) -- the trust-region LM
-    # converges in well under 20 steps from the PSMC warm start and the
-    # masked `done` lanes make extra iterations pure waste.  4/20/6 keeps
-    # margin over the observed need at ~2.8x less kernel time; the CPU
-    # fused-xla oracle tests pin the same budgets against the reference.
-    rounds: int = 4,
-    iters0: int = 20,
-    iters_warm: int = 6,
+    # Jacobi/LM budgets: tuned round 4 (scripts/tpu_budget_probe.py) --
+    # 3/14/4 matches the sequential f64 oracle to 1.2e-10 (cpfit) / 7.6e-7
+    # (expected-coalescence-time mode, identical -inf masks) on the bench
+    # workload while cutting kernel time ~13% vs round 3's 4/20/6: the
+    # trust-region LM converges well under 14 steps from the PSMC warm
+    # start and masked `done` lanes make extra iterations pure waste.
+    # max_squarings=8 (chain norm <= 256; typical stretched norms < 8) is
+    # +2% more; over-budget lanes NaN-poison to llh=-inf via the _scaling
+    # guard rather than silently clamping.  The CPU fused-xla oracle tests
+    # pin these same defaults against the reference.
+    rounds: int = 3,
+    iters0: int = 14,
+    iters_warm: int = 4,
+    max_squarings: int = 8,
     mode: str = "pallas",  # "pallas" | "xla"
     interpret: bool = False,
     lane_block: int = 128,
@@ -588,6 +605,7 @@ def build_fused_correction(
         iters0=iters0,
         iters_warm=iters_warm,
         unroll=unroll,
+        max_squarings=max_squarings,
     )
 
     def _impl(mi, pu, lh_tab=None, t_tab=None):

@@ -53,16 +53,54 @@ def build_workload():
     return build_likelihood(spec, correction_mode="scan-jacobi")
 
 
+def sweep_inputs():
+    """Deterministic toy sweep scenario shared by the worker and the
+    single-process comparison in the parent test."""
+    numT = 10
+    grid = 0.01 * (1.25 ** np.arange(numT)) - 0.01
+    times = list(np.diff(grid))
+    tt = np.cumsum([0.0] + times)
+    lams = [
+        [1.0 + 0.3 * float(np.sin(t * 5.0)), 1.1 + 0.2 * float(np.cos(t * 4.0))]
+        for t in tt
+    ]
+    rng = np.random.default_rng(3)
+    base = np.array([3000.0, 800, 2900, 1500, 1200, 850, 1250])
+    data = np.stack([base * rng.uniform(0.9, 1.1, size=7) for _ in range(4)])
+    return times, lams, data
+
+
+def run_sweep(mesh):
+    """The whole test.bs workflow over the given mesh: fused grid, lockstep
+    Nelder-Mead, multi-stage straggler compaction (the configuration a real
+    multi-host v5e sweep runs, reference test.bs/han_fre.bs.sh:29-37)."""
+    from misti_tpu.engine.bootstrap import sweep
+
+    times, lams, data = sweep_inputs()
+    return sweep(times, lams, data, [4, 6], [[1, 0, "ST", 0.25, 1]], (),
+                 tol=1e-4, cpfit=True, smooth=False, unfolded=True,
+                 stage_caps=(4, 8), mesh=mesh)
+
+
 def main() -> int:
     coordinator, n_proc, pid, out = (
         sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
     )
+    mode = sys.argv[5] if len(sys.argv) > 5 else "llh"
     from misti_tpu.dist.mesh import REPLICATE_AXIS, init_distributed, make_mesh
 
     init_distributed(coordinator, n_proc, pid)
     assert jax.process_count() == n_proc, jax.process_count()
     mesh = make_mesh()  # global: n_proc x 2 virtual CPU devices
     assert mesh.devices.size == 2 * n_proc, mesh.devices.size
+
+    if mode == "sweep":
+        res = run_sweep(mesh)
+        np.savez(out, llh=res.llh, params=res.params, nfev=res.nfev,
+                 n_devices=mesh.devices.size,
+                 process_count=jax.process_count())
+        jax.distributed.shutdown()
+        return 0
 
     lik = build_workload()
     params = np.linspace(0.05, 0.9, 8)[:, None]

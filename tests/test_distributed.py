@@ -26,6 +26,29 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+def _run_workers(tmp_path, mode):
+    coordinator = f"127.0.0.1:{_free_port()}"
+    outs = [str(tmp_path / f"proc{i}_{mode}.npz") for i in range(2)]
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, coordinator, "2", str(i), outs[i], mode],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for i in range(2)
+    ]
+    for p in procs:
+        try:
+            stdout, stderr = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"worker failed:\n{stdout}\n{stderr}"
+    return [np.load(o) for o in outs]
+
+
 def test_two_process_sharded_llh_matches_single(tmp_path):
     coordinator = f"127.0.0.1:{_free_port()}"
     outs = [str(tmp_path / f"proc{i}.npz") for i in range(2)]
@@ -64,3 +87,27 @@ def test_two_process_sharded_llh_matches_single(tmp_path):
     single = np.asarray(lik.llh_batch(params))
     assert np.all(np.isfinite(single))
     np.testing.assert_allclose(res[0]["llh"], single, rtol=0, atol=0)
+
+
+def test_two_process_distributed_sweep_matches_single(tmp_path):
+    """Whole FITS fanned out across processes: a small sweep() (fused grid,
+    lockstep Nelder-Mead with multi-stage straggler compaction) over a
+    2-process x 2-device global mesh must produce the same full result
+    table as a single-process run -- the configuration a real multi-host
+    v5e sweep uses (reference test.bs/han_fre.bs.sh:29-37 whole-fit
+    fan-out).  The stage scheduler's outputs are replicated, so every
+    process takes identical compaction decisions."""
+    res = _run_workers(tmp_path, "sweep")
+    assert int(res[0]["process_count"]) == 2
+    assert int(res[0]["n_devices"]) == 4
+    for key in ("llh", "params", "nfev"):
+        np.testing.assert_array_equal(res[0][key], res[1][key])
+
+    sys.path.insert(0, HERE)
+    import _dist_worker
+    from misti_tpu.dist.mesh import make_mesh
+
+    single = _dist_worker.run_sweep(make_mesh(4))
+    np.testing.assert_allclose(res[0]["llh"], single.llh, rtol=0, atol=0)
+    np.testing.assert_allclose(res[0]["params"], single.params, rtol=0, atol=0)
+    np.testing.assert_array_equal(res[0]["nfev"], single.nfev)
