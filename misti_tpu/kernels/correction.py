@@ -67,14 +67,18 @@ def _lm(res_fn, x0, lower=None, iters=_LM_ITERS, early_exit=False):
     def clip(x):
         return x if lower is None else jnp.maximum(x, lower)
 
-    def cost(x):
-        r = res_fn(x)
-        return jnp.sum(r * r)
+    def res_jac(x):
+        """Residual + Jacobian in one primal pass (see correction_pallas
+        `_lm2`: linearizing AT the trial point lets one evaluation serve as
+        both the acceptance residual and the next iteration's Jacobian --
+        one fewer expm-bearing primal per iteration than the classic loop,
+        with an identical accept/reject trajectory)."""
+        r, lin = jax.linearize(res_fn, x)
+        J = jax.vmap(lin)(jnp.eye(n, dtype=x.dtype)).T
+        return r, J
 
     def body(state):
-        x, damp, trust, c, done = state
-        r = res_fn(x)
-        J = jax.jacfwd(res_fn)(x)
+        x, r, J, damp, trust, c, done = state
         jtj = J.T @ J
         g = J.T @ r
         a = jtj + damp * jnp.eye(n, dtype=x.dtype)
@@ -85,10 +89,13 @@ def _lm(res_fn, x0, lower=None, iters=_LM_ITERS, early_exit=False):
         dn = jnp.linalg.norm(delta)
         delta = delta * jnp.minimum(1.0, trust / jnp.maximum(dn, 1e-300))
         xn = clip(x + delta)
-        cn = cost(xn)
+        rn, Jn = res_jac(xn)
+        cn = jnp.sum(rn * rn)
         ok = jnp.isfinite(cn) & (cn < c) & ~done
         step = jnp.where(ok, jnp.linalg.norm(xn - x), jnp.inf)
         x = jnp.where(ok, xn, x)
+        r = jnp.where(ok, rn, r)
+        J = jnp.where(ok, Jn, J)
         c = jnp.where(ok, cn, c)
         damp = jnp.where(
             done, damp, jnp.clip(jnp.where(ok, damp * 0.25, damp * 4.0),
@@ -100,12 +107,13 @@ def _lm(res_fn, x0, lower=None, iters=_LM_ITERS, early_exit=False):
         )
         # converged: tiny cost or tiny accepted step
         done = done | (c < 1e-28) | (step < 1e-13 * (1.0 + jnp.linalg.norm(x)))
-        return (x, damp, trust, c, done)
+        return (x, r, J, damp, trust, c, done)
 
     x0 = clip(x0)
     trust0 = jnp.maximum(jnp.linalg.norm(x0), 1.0)
-    state = (x0, jnp.asarray(1e-3, x0.dtype), trust0, cost(x0),
-             jnp.asarray(False))
+    r0, J0 = res_jac(x0)
+    state = (x0, r0, J0, jnp.asarray(1e-3, x0.dtype), trust0,
+             jnp.sum(r0 * r0), jnp.asarray(False))
     if early_exit:
         it_state = (jnp.asarray(0), state)
         x = jax.lax.while_loop(
@@ -114,7 +122,7 @@ def _lm(res_fn, x0, lower=None, iters=_LM_ITERS, early_exit=False):
             it_state,
         )[1][0]
     else:
-        (x, _, _, _, _), _ = jax.lax.scan(
+        (x, _, _, _, _, _, _), _ = jax.lax.scan(
             lambda st, _: (body(st), None), state, None, length=iters,
             unroll=4,
         )

@@ -47,7 +47,7 @@ def main() -> int:
     lik = build_likelihood(spec, correction_mode=mode)
 
     rows = []
-    for batch in (128, 256, 512, 1024, 2048):
+    for batch in (128, 256, 512, 1024, 2048, 4096, 8192):
         params = np.linspace(0.05, 1.2, batch)[:, None]
         t0 = time.perf_counter()
         out = np.asarray(lik.llh_batch(params))

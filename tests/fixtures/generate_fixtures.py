@@ -145,6 +145,7 @@ def _spectrum_case(name, times, lambdas, splitT, mi, pu, sfs8, **kwargs):
         cpfit=float(kwargs.get("cpfit", False)),
         smooth=float(kwargs.get("smooth", False)),
         sampleDate=float(kwargs.get("sampleDate", 0)),
+        mixtureTH=float(kwargs.get("mixtureTH", 0.0)),
     )
     return dict(
         name=name,
@@ -244,7 +245,21 @@ def fix_likelihood():
             sampleDate=3,
         )
     )
-    # 7. fractional split time
+    # 7. nonzero mixture threshold (-mth): the bail-out fires when the two
+    # genomes' location distributions come within mixtureTH of each other
+    # (CorrectLambda.py:267-272).  rate=10 mixes the rows deep in the band:
+    # mth=1.2 does NOT trip (llh equals the mth=0 value); mth=1.35 trips
+    # on some interval -> correction failed -> llh = -inf.
+    for nm, mth in (("correct_mth_pass", 1.2), ("correct_mth_bail", 1.35)):
+        cases.append(
+            _spectrum_case(
+                nm, list(times), [list(v) for v in lams], splitT,
+                [[1, 2, splitT, 10.0, 0]], [], sfs, unfolded=True,
+                cpfit=True, smooth=False, mixtureTH=mth,
+            )
+        )
+
+    # 8. fractional split time
     d = migrationIO.ReadMS(ms)
     cases.append(
         _spectrum_case(
@@ -369,6 +384,18 @@ def fix_readpsmc():
         out[f"{tag}_sdd"] = np.asarray(float(d.sampleDateDiscr))
         out[f"{tag}_tpsmc0"] = np.asarray(d.Tpsmc[0], float)
         out[f"{tag}_tpsmc1"] = np.asarray(d.Tpsmc[1], float)
+    # het-loss rescale (-hl): theta / time / EPS rescaling through
+    # migrationIO.ReadPSMC (SetHetLoss + :232-248)
+    units = migrationIO.Units()
+    units.SetHetLoss([0.12, 0.07])
+    d = migrationIO.ReadPSMC(f1, f2, 0.0, -1)
+    out["hl_times"] = np.asarray(d.times, float)
+    out["hl_lambdas"] = np.asarray(d.lambdas, float)
+    out["hl_scaleTime"] = np.asarray(float(d.scaleTime))
+    out["hl_theta"] = np.asarray(float(d.theta))
+    out["hl_vals"] = np.asarray([0.12, 0.07])
+    units.SetHetLoss([0.0, 0.0])
+
     d = migrationIO.ReadPSMC1(f1, f2, -1, divergenceTime=120000.0)
     out["pm1_times"] = np.asarray(d.times, float)
     out["pm1_lambdas"] = np.asarray(d.lambdas, float)

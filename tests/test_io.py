@@ -146,3 +146,31 @@ def test_units_from_file(tmp_path):
     assert Units.n0 == 20000
     assert Units.gen_time == 29
     assert Units.theta() == 4 * 50 * 2.5e-8 * 20000
+
+
+def test_read_psmc_hetloss_matches_reference():
+    """Nonzero -hl: the het-loss theta rescale through ReadPSMC
+    (reference migrationIO.py SetHetLoss + :232-233: theta_i /= (1 - hl_i)
+    before the time/EPS rescale).  Oracle captured by RUNNING the
+    reference with hetloss (0.12, 0.07)."""
+    from misti_tpu.io.units import Units
+
+    fx = load_fixture("readpsmc.npz")
+    if "hl_times" not in fx:
+        import pytest
+
+        pytest.skip("hetloss fixture not generated")
+    f1 = os.path.join(FIXDIR, "synth1.psmc")
+    f2 = os.path.join(FIXDIR, "synth2.psmc")
+    try:
+        Units.set_het_loss([float(fx["hl_vals"][0]), float(fx["hl_vals"][1])])
+        d = io_psmc.read_psmc(f1, f2, 0.0, -1)
+    finally:
+        Units.set_het_loss([0.0, 0.0])
+    np.testing.assert_allclose(np.asarray(d.times), fx["hl_times"], atol=0)
+    np.testing.assert_allclose(np.asarray(d.lambdas), fx["hl_lambdas"], atol=0)
+    assert d.scale_time == float(fx["hl_scaleTime"])
+    assert d.theta == float(fx["hl_theta"])
+    # and it actually differs from the hl=0 read (the rescale is real)
+    d0 = io_psmc.read_psmc(f1, f2, 0.0, -1)
+    assert not np.allclose(np.asarray(d.lambdas), np.asarray(d0.lambdas))

@@ -45,6 +45,7 @@ def _load_cases():
                 cpfit=bool(flags[2]),
                 smooth=bool(flags[3]),
                 sampleDate=int(flags[4]),
+                mixture_th=float(flags[5]) if len(flags) > 5 else 0.0,
             )
         )
     return cases
@@ -66,6 +67,7 @@ def _build(case):
         smooth=case["smooth"],
         unfolded=case["unfolded"],
         sample_date=case["sampleDate"],
+        mixture_th=case["mixture_th"],
     )
     return build_likelihood(spec)
 
@@ -74,6 +76,11 @@ def _build(case):
 def test_llh_matches_reference(case):
     lik = _build(case)
     llh, aux = lik.llh_aux(np.zeros(0))
+    if not np.isfinite(case["llh"]):
+        # reference correction bail-out (e.g. the -mth mixture threshold,
+        # CorrectLambda.py:267-272): ours must fail the same eval
+        assert not bool(aux["valid"]) and float(llh) == -np.inf
+        return
     assert bool(aux["valid"]), f"valid=False but reference llh={case['llh']}"
     # corrected rates: exact in trueEPS mode, solver-tolerance otherwise
     tol = 1e-12 if case["trueEPS"] else 2e-4
@@ -139,3 +146,29 @@ def test_batched_llh_matches_single():
     for i, p in enumerate(batch):
         np.testing.assert_allclose(out[i], float(lik.llh(p)), rtol=1e-9,
                                    atol=1e-7)
+
+
+@pytest.mark.parametrize(
+    "case",
+    [c for c in CASES if c["name"].startswith("correct_mth")],
+    ids=lambda c: c["name"],
+)
+@pytest.mark.parametrize("mode", ["scan-seq", "scan-jacobi", "fused-xla"])
+def test_mixture_threshold_all_strategies(case, mode):
+    """Nonzero -mth through every correction strategy: the pass case must
+    reproduce the reference llh, the bail case must go to -inf exactly
+    like the reference (CorrectLambda.py:267-272; kernel bail in
+    kernels/correction.py and correction_pallas.py)."""
+    spec = build_spec(
+        list(case["times"]), [list(v) for v in case["lambdas"]],
+        list(case["sfs8"]), case["splitT"],
+        [list(v) for v in case["mi"]], [list(v) for v in case["pu"]],
+        correct=True, cpfit=case["cpfit"], smooth=case["smooth"],
+        unfolded=case["unfolded"], mixture_th=case["mixture_th"],
+    )
+    lik = build_likelihood(spec, correction_mode=mode)
+    llh = float(lik.llh(np.zeros(0)))
+    if np.isfinite(case["llh"]):
+        np.testing.assert_allclose(llh, case["llh"], rtol=1e-7, atol=1e-3)
+    else:
+        assert llh == -np.inf
