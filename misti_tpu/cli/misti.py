@@ -53,6 +53,12 @@ def make_parser() -> argparse.ArgumentParser:
                    help="use single bootstrap row")
     p.add_argument("--psmcMode", "-pm", type=int, default=0, help="PSMC mode")
     p.add_argument("--debug", action="store_true", help="debug mode")
+    p.add_argument("--aot", action="store_true",
+                   help="AOT program cache: warm reruns of the same scenario "
+                        "skip re-tracing (~6x faster invocations); disables "
+                        "the per-eval (mu, -llh) trace lines, results "
+                        "unchanged. Accelerator backends only (see "
+                        "engine/aot.py; force on CPU with MISTI_AOT=1)")
     return p
 
 
@@ -138,9 +144,31 @@ def main(argv=None) -> int:
         thrh=(input_data.theta, input_data.rho),
     )
     lik = build_likelihood(spec)
+    aot_key = None
+    if clargs.aot:
+        from ..engine.aot import aot_enabled, scenario_key
+
+        if not aot_enabled():
+            # see aot.py: XLA:CPU segfaults on large deserialized modules;
+            # single fits default to the CPU backend, so --aot needs either
+            # an accelerator (MISTI_PLATFORM=tpu) or an explicit MISTI_AOT=1
+            print_err("--aot ignored on the CPU backend (XLA:CPU cannot "
+                      "reload large exported programs; set MISTI_PLATFORM="
+                      "tpu or force with MISTI_AOT=1)")
+            clargs.aot = False
+    if clargs.aot:
+        aot_key = scenario_key(
+            np.asarray(spec.times), np.asarray(spec.lh),
+            np.asarray(spec.mi_base), np.asarray(spec.pu_base),
+            np.asarray(spec.mi_masks), np.asarray(spec.pu_masks),
+            np.asarray(spec.data_jafs), spec.splitT, spec.sample_date,
+            spec.correct, spec.cpfit, spec.smooth, spec.unfolded,
+            spec.mixture_th, clargs.tol,
+        )
     # trace=True: print every evaluated (mu, -llh) like the reference's
-    # ObjectiveFunction (MigrationInference.py:713-716)
-    sol = solve(lik, clargs.tol, trace=True)
+    # ObjectiveFunction (MigrationInference.py:713-716); --aot trades those
+    # diagnostic lines for warm-process program reuse
+    sol = solve(lik, clargs.tol, trace=not clargs.aot, aot_key=aot_key)
     print(sol)
     corr_called = sol.corr_called
     corr_failed = sol.corr_failed

@@ -66,7 +66,22 @@ def default_cache_dir() -> str:
 
 
 def aot_enabled() -> bool:
-    return os.environ.get("MISTI_AOT", "1") != "0"
+    """AOT policy: on for accelerator backends, explicit opt-in on CPU.
+
+    MISTI_AOT=1 forces on, =0 forces off.  The CPU default is OFF because
+    this jaxlib's XLA:CPU segfaults compiling the serialize->deserialize
+    roundtrip of LARGE modules in a fresh process (reproduced: the
+    27-interval scan-seq fit program crashes on deserialize+compile even
+    with a fresh compilation cache, while the directly-exported module in
+    the exporting process compiles fine; small modules roundtrip fine).
+    The TPU compiler handles the same roundtrips correctly -- the sweep
+    CLI's warm runs deserialize on the chip end-to-end."""
+    v = os.environ.get("MISTI_AOT", "")
+    if v == "1":
+        return True
+    if v == "0":
+        return False
+    return jax.default_backend() != "cpu"
 
 
 def _abstract(x):

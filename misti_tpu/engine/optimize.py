@@ -234,7 +234,8 @@ class SolveResult:
 
 
 def solve(lik, tol: float = 1e-4, global_opt: bool = False, seed: int = 0,
-          trace: bool = False, n_hops: int = 100) -> SolveResult:
+          trace: bool = False, n_hops: int = 100,
+          aot_key: "str | None" = None) -> SolveResult:
     """Reference ``Solve`` (MigrationInference.py:718-733): maximise the llh.
 
     Returns a :class:`SolveResult` that unpacks like the reference's
@@ -245,6 +246,13 @@ def solve(lik, tol: float = 1e-4, global_opt: bool = False, seed: int = 0,
     reference's scipy.optimize.basinhopping call.  ``trace`` prints every
     evaluated (mu, -llh) like the reference's ObjectiveFunction
     (MigrationInference.py:713-716).
+
+    ``aot_key`` (with ``trace=False``) routes the fit program through the
+    AOT export cache (engine/aot.py): warm processes deserialize the
+    traced program instead of re-tracing it -- tracing dominates a warm
+    single-fit CLI invocation (~15 of 18 s measured).  Per-eval trace
+    printing uses a host callback that cannot cross the export boundary,
+    so the two options are exclusive.
     """
     spec = lik.spec
     init = spec.init_params
@@ -261,6 +269,10 @@ def solve(lik, tol: float = 1e-4, global_opt: bool = False, seed: int = 0,
         return -llh, flags
 
     nm = jax.jit(lambda x0: nelder_mead(obj, x0, xatol=tol, fatol=tol, naux=2))
+    if aot_key and not trace:
+        from .aot import CachedProgram
+
+        nm = CachedProgram(nm, "fit-" + aot_key, verbose=True)
 
     def record(x, f, res_list):
         return SolveResult(

@@ -26,12 +26,17 @@ jax.config.update("jax_enable_x64", True)
 # Persistent compilation cache: the fused-correction validation programs take
 # ~30 s each to compile on XLA:CPU; repeat runs hit the cache (same dir as
 # bench.py -- keys differ by backend/flags, so entries never collide).
-_cache_dir = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
-)
+import sys as _sys  # noqa: E402
+
+_sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from misti_tpu.config import cache_dir_for  # noqa: E402
+
+# NB: the dir is salted with the host-CPU fingerprint -- XLA:CPU AOT
+# executables embed machine features that jax's cache key omits, and
+# loading one cached on a different host segfaults (see config.py).
 if os.environ.get("MISTI_TEST_CACHE", "1") != "0":
     try:
-        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_compilation_cache_dir", cache_dir_for("cpu"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:
         pass
