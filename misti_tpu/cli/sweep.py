@@ -53,6 +53,13 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--fout", default="", help="output .npz results table")
     p.add_argument("--platform", default=None, help="cpu | tpu | default")
     p.add_argument("--profile", default="", help="jax profiler trace directory")
+    p.add_argument("--stages", nargs="+", type=int, default=None,
+                   metavar="CAP",
+                   help="straggler-compaction iteration caps (default "
+                        "16 32 64 128 256; the final stage always runs to "
+                        "--maxiter)")
+    p.add_argument("--maxiter", type=int, default=1000,
+                   help="Nelder-Mead iteration budget per fit")
     return p
 
 
@@ -94,11 +101,14 @@ def main(argv=None) -> int:
 
         ctx = jax.profiler.trace(clargs.profile)
         ctx.__enter__()
+    stage_kw = {} if clargs.stages is None else {
+        "stage_caps": tuple(clargs.stages)
+    }
     res = sweep(
         input_data.times, input_data.lambdas, data, splits, mi_t, pu_t,
         tol=clargs.tol, sample_date=input_data.sample_date_discr,
         unfolded=clargs.uf, cpfit=clargs.cpfit, smooth=not clargs.nosmooth,
-        correct=not clargs.trueEPS,
+        correct=not clargs.trueEPS, maxiter=clargs.maxiter, **stage_kw,
     )
     if ctx is not None:
         ctx.__exit__(None, None, None)
@@ -119,6 +129,11 @@ def main(argv=None) -> int:
     ci = split_time_confidence_interval(res, input_data.times,
                                         input_data.scale_time)
     n_cells = len(splits) * data.shape[0]
+    # per-replicate argmax histogram: the spread the Student-t CI is built
+    # from (bs_conf_int.ipynb cell 2's value_counts)
+    am = res.llh.argmax(axis=0)
+    hist = {str(res.split_times[i]): int((am == i).sum())
+            for i in sorted(set(am.tolist()))}
     summary = {
         "cells": n_cells,
         "wallclock_s": round(dt, 3),
@@ -126,6 +141,7 @@ def main(argv=None) -> int:
         "split_mean_gens": float(ci["mean"]),
         "split_ci_gens": [float(ci["ci"][0]), float(ci["ci"][1])],
         "ci_level": ci["level"],
+        "argmax_hist": hist,
     }
     if res.nfev is not None:
         # actual likelihood evaluations performed across all lockstep fits

@@ -85,10 +85,26 @@ def aot_enabled() -> bool:
 
 
 def _abstract(x):
+    """Abstract value for export -- keeps a NamedSharding if the arg has
+    one, so sharded (multi-device) programs export with their layouts
+    recorded and deserialize back onto the same mesh shape."""
     if isinstance(x, jax.ShapeDtypeStruct):
         return x
     a = jax.api_util.shaped_abstractify(x)
-    return jax.ShapeDtypeStruct(a.shape, a.dtype)
+    sharding = None
+    if isinstance(x, jax.Array):
+        s = x.sharding
+        if isinstance(s, jax.sharding.NamedSharding) and s.mesh.size > 1:
+            sharding = s
+    return jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=sharding)
+
+
+def _sharding_tag(x) -> str:
+    if isinstance(x, jax.Array) and isinstance(x.sharding,
+                                               jax.sharding.NamedSharding):
+        s = x.sharding
+        return f"{tuple(s.mesh.shape.items())}|{s.spec}"
+    return "-"
 
 
 class CachedProgram:
@@ -117,12 +133,15 @@ class CachedProgram:
         h.update(self._key.encode())
         for a in jax.tree_util.tree_leaves(args):
             s = _abstract(a)
-            h.update(str((s.shape, str(s.dtype))).encode())
+            h.update(str((s.shape, str(s.dtype), _sharding_tag(a))).encode())
         return os.path.join(self._dir, h.hexdigest()[:24] + ".jaxexport")
 
     def __call__(self, *args):
-        sig = tuple((tuple(_abstract(a).shape), str(_abstract(a).dtype))
-                    for a in jax.tree_util.tree_leaves(args))
+        sig = tuple(
+            (tuple(_abstract(a).shape), str(_abstract(a).dtype),
+             _sharding_tag(a))
+            for a in jax.tree_util.tree_leaves(args)
+        )
         hit = self._compiled.get(sig)
         if hit is not None:
             return hit(*args)

@@ -249,7 +249,10 @@ def _sweep_fused(times, lambdas, data, splits, mi_template, pu_template, *,
 
     run_start = jax.jit(jax.vmap(fit_start, in_axes=(None, 0, 0, 0)),
                         out_shardings=out_shard)
-    use_aot = aot_enabled() and n_dev == 1 and not multiproc
+    # AOT works for single-process meshes of any size (sharded inputs
+    # export with their NamedShardings recorded); multi-host exports are
+    # not supported yet
+    use_aot = aot_enabled() and not multiproc
     if use_aot:
         skey = scenario_key(
             np.asarray(times, float), np.asarray(lambdas, float), splits,

@@ -107,3 +107,41 @@ def test_sweep_aot_matches_plain(tmp_path, monkeypatch):
     r_warm = sweep(times, lams, data, [4, 7], [[1, 0, "ST", 0.25, 1]], (), **kw)
     assert set(os.listdir(tmp_path)) == before
     np.testing.assert_array_equal(r_warm.llh, r_plain.llh)
+
+
+def test_sweep_aot_sharded_mesh(tmp_path, monkeypatch):
+    """AOT over a MULTI-device mesh: sharded inputs export with their
+    NamedShardings recorded (distinct cache entries from the 1-device
+    programs), deserialize back onto the same mesh shape, and reproduce
+    the plain-jit sweep."""
+    from misti_tpu.dist.mesh import make_mesh
+    from misti_tpu.engine.bootstrap import sweep
+
+    numT = 12
+    grid = 0.015 * (1.14 ** np.arange(numT)) - 0.015
+    times = list(np.diff(grid))
+    tt = np.cumsum([0.0] + times)
+    lams = [list(v) for v in np.stack(
+        [1.0 + 0.3 * np.sin(tt * 11.0), 1.1 + 0.25 * np.cos(tt * 7.0)],
+        axis=1)]
+    rng = np.random.default_rng(3)
+    base = np.array([3000.0, 800, 2900, 1500, 1200, 850, 1250])
+    data = np.stack([base * rng.uniform(0.9, 1.1, size=7) for _ in range(4)])
+    kw = dict(tol=1e-4, cpfit=True, smooth=False, unfolded=True,
+              stage_caps=(4, 8), mesh=make_mesh(4))
+
+    monkeypatch.setenv("MISTI_AOT", "0")
+    r_plain = sweep(times, lams, data, [4, 7], [[1, 0, "ST", 0.25, 1]], (),
+                    **kw)
+    monkeypatch.setenv("MISTI_AOT", "1")
+    monkeypatch.setenv("MISTI_AOT_DIR", str(tmp_path))
+    r_aot = sweep(times, lams, data, [4, 7], [[1, 0, "ST", 0.25, 1]], (), **kw)
+    np.testing.assert_array_equal(r_aot.llh, r_plain.llh)
+    np.testing.assert_array_equal(r_aot.params, r_plain.params)
+    np.testing.assert_array_equal(r_aot.nfev, r_plain.nfev)
+    assert len([f for f in os.listdir(tmp_path)
+                if f.endswith(".jaxexport")]) >= 2
+    before = set(os.listdir(tmp_path))
+    r_warm = sweep(times, lams, data, [4, 7], [[1, 0, "ST", 0.25, 1]], (), **kw)
+    assert set(os.listdir(tmp_path)) == before
+    np.testing.assert_array_equal(r_warm.llh, r_plain.llh)
