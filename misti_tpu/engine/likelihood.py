@@ -43,6 +43,29 @@ def _pulse_update_3state(p0, rate, pop: int):
     return jnp.stack(cols, axis=1)
 
 
+def _warn_f32_ect(correct: bool, cpfit: bool) -> None:
+    """The expected-coalescence-time residual (cpfit=False) is
+    ILL-CONDITIONED in float32: ECT(lam*T) = 1/2 - lam*T/12 + ..., so the
+    signal distinguishing rates is O(lam*T) on a ~0.5 baseline and f32's
+    ~1e-7 noise floor swamps it for the small lam*T of real PSMC grids
+    (measured: llh off by >2x on both CPU-f32 and TPU, strategy-dependent
+    garbage).  The reference runs f64 where the same formulation is fine
+    (parity validated in tests/); the cpfit residual is formed as a stable
+    difference and holds 1.2e-4 relative accuracy in f32 (ACCURACY.md)."""
+    import warnings
+
+    import jax as _j
+
+    if correct and not cpfit and not _j.config.jax_enable_x64:
+        warnings.warn(
+            "expected-coalescence-time correction (cpfit=False) is "
+            "numerically unreliable in float32 -- llh values can be off "
+            "by integer factors. Use --cpfit on accelerators, or the CPU "
+            "float64 platform for ECT-mode fits.",
+            RuntimeWarning, stacklevel=3,
+        )
+
+
 @dataclasses.dataclass
 class Likelihood:
     """Compiled likelihood functions for one ModelSpec."""
@@ -93,6 +116,7 @@ def build_likelihood(
             "scan-seq" if _jax.default_backend() == "cpu" else "fused-pallas"
         )
     sequential = correction_mode == "scan-seq"
+    _warn_f32_ect(spec.correct, spec.cpfit)
     b2 = ss.two_pop_basis()
     b1 = ss.one_pop_basis()
     s = spec.splitT
@@ -303,7 +327,13 @@ def build_likelihood(
                     ) / (1.0 + jnp.exp(nc[1] - nc[0]))
                     lam = -jnp.log(pnc) / jnp.where(T_t == 0, 1.0, T_t)
                 else:
-                    w = jnp.stack([jnp.exp(nc[0]), jnp.exp(nc[1])])
+                    # only the weight RATIO matters (fit_single_pop
+                    # normalises): shift by max(nc) so the f32 path cannot
+                    # underflow exp of the large-negative log no-coal mass
+                    # (unshifted, exp(nc) -> 0/0 past nc ~ -87 and the
+                    # whole ECT mode returns garbage llh on TPU)
+                    m = jnp.maximum(nc[0], nc[1])
+                    w = jnp.stack([jnp.exp(nc[0] - m), jnp.exp(nc[1] - m)])
                     lam = kc.fit_single_pop(
                         lh_t, jnp.where(T_t == 0, 1.0, T_t), w
                     )
@@ -321,7 +351,9 @@ def build_likelihood(
                 nc_t = nc[None, :] - jnp.concatenate(
                     [jnp.zeros((1, 2), dec.dtype), csum[:-1]], axis=0
                 )
-                w = jnp.exp(nc_t)
+                # shift by the per-interval max: ratio-invariant, immune to
+                # f32 exp underflow of the cumulative log no-coal mass
+                w = jnp.exp(nc_t - nc_t.max(axis=1, keepdims=True))
                 lam = fit_batch(lh_post, t_safe, w)
                 lam = jnp.where(t_post == 0, 1.0, lam)
                 return jnp.stack([lam, lam], axis=-1), None
@@ -332,9 +364,12 @@ def build_likelihood(
             lc_post, _ = jax.lax.scan(post_outer, lc0, None, length=_PAR_OUTERS)
             nc_fin = nc - jnp.sum(t_post[:, None] * lc_post, axis=0)
 
-        # last (infinite) interval: weighted harmonic mean (:371-376)
-        pr0 = jnp.exp(nc_fin[0])
-        pr1 = jnp.exp(nc_fin[1])
+        # last (infinite) interval: weighted harmonic mean (:371-376);
+        # max-shifted exp -- the mean is invariant to the common factor and
+        # the raw exp underflows in f32
+        m_nc = jnp.maximum(nc_fin[0], nc_fin[1])
+        pr0 = jnp.exp(nc_fin[0] - m_nc)
+        pr1 = jnp.exp(nc_fin[1] - m_nc)
         lam_last = (pr0 + pr1) / (pr0 / lh[numT - 1, 0] + pr1 / lh[numT - 1, 1])
         lc_last = jnp.stack([lam_last, lam_last])[None]
 

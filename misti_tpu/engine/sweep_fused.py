@@ -73,6 +73,9 @@ def build_fused_sweep(
     per-interval tables -- the kernel shape is unchanged and one compile
     still covers the whole grid.
     """
+    from .likelihood import _warn_f32_ect
+
+    _warn_f32_ect(correct, cpfit)
     splits = [float(v) for v in split_times]
     b2 = ss.two_pop_basis()
     b1 = ss.one_pop_basis()
@@ -304,7 +307,10 @@ def build_fused_sweep(
                 nc_t = nc[None, :] - jnp.concatenate(
                     [jnp.zeros((1, 2), dec.dtype), csum[:-1]], axis=0
                 )
-                lam = fit_b(lhq, tq_safe, jnp.exp(nc_t))
+                # ratio-invariant max shift: no f32 exp underflow of the
+                # cumulative log no-coal mass (see engine/likelihood.py)
+                lam = fit_b(lhq, tq_safe,
+                            jnp.exp(nc_t - nc_t.max(axis=1, keepdims=True)))
                 lam = jnp.where(tq == 0, 1.0, lam)
                 return jnp.stack([lam, lam], axis=-1), None
 
@@ -312,8 +318,9 @@ def build_fused_sweep(
             lc_post, _ = jax.lax.scan(post_outer, lc0, None, length=_PAR_OUTERS)
             nc_fin = nc - jnp.sum(tq[:, None] * lc_post, axis=0)
 
-        pr0 = jnp.exp(nc_fin[0])
-        pr1 = jnp.exp(nc_fin[1])
+        m_nc = jnp.maximum(nc_fin[0], nc_fin[1])
+        pr0 = jnp.exp(nc_fin[0] - m_nc)
+        pr1 = jnp.exp(nc_fin[1] - m_nc)
         lam_last = (pr0 + pr1) / (pr0 / lh_l[0] + pr1 / lh_l[1])
 
         if smooth:

@@ -210,10 +210,24 @@ def _pulse_cols(q0, q1, q2, rate, pop):
     return (np_, nq, n2) if pop == 0 else (nq, np_, n2)
 
 
+def _expm1(x):
+    """exp(x) - 1 without jnp.expm1: Mosaic has no expm1 lowering
+    (NotImplementedError in Pallas TPU lowering), and the naive
+    exp(x) - 1 loses the leading digits exactly where this kernel lives
+    (stretched rates lam ~ 1e-3..1e-1).  7-term Horner series below 0.5
+    (rel err < 3e-7 at the switch point, far below the f32 working
+    precision and the LM tolerance), exp(x) - 1 above."""
+    small = x < 0.5
+    xs = jnp.where(small, x, 0.0)
+    ser = xs * (1.0 + xs / 2 * (1.0 + xs / 3 * (1.0 + xs / 4 * (
+        1.0 + xs / 5 * (1.0 + xs / 6 * (1.0 + xs / 7))))))
+    return jnp.where(small, ser, jnp.exp(x) - 1.0)
+
+
 def _ect_conditional(lam, guard=100.0):
     """E[coal time | coal in (0,1)] (stretched units; CorrectLambda.py:67-77)."""
     hot = lam > guard
-    tail = jnp.where(hot, 0.0, 1.0 / jnp.expm1(jnp.where(hot, 1.0, lam)))
+    tail = jnp.where(hot, 0.0, 1.0 / _expm1(jnp.where(hot, 1.0, lam)))
     return 1.0 / lam - tail
 
 

@@ -172,3 +172,28 @@ def test_mixture_threshold_all_strategies(case, mode):
         np.testing.assert_allclose(llh, case["llh"], rtol=1e-7, atol=1e-3)
     else:
         assert llh == -np.inf
+
+
+def test_f32_ect_mode_warns(monkeypatch):
+    """cpfit=False on a float32 backend must warn: the ECT residual's
+    signal is O(lam*T) on a ~0.5 baseline and f32 cannot resolve it
+    (ACCURACY.md round-4 section).  f64 (this suite's default) must not."""
+    import warnings
+
+    import jax
+
+    case = CASES[0]
+    spec = build_spec(
+        list(case["times"]), [list(v) for v in case["lambdas"]],
+        list(case["sfs8"]), case["splitT"], [], [], unfolded=True,
+        cpfit=False, smooth=False,
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        build_likelihood(spec)  # x64 on: no warning
+    jax.config.update("jax_enable_x64", False)
+    try:
+        with pytest.warns(RuntimeWarning, match="expected-coalescence-time"):
+            build_likelihood(spec)
+    finally:
+        jax.config.update("jax_enable_x64", True)
