@@ -59,10 +59,18 @@ def _source_hash() -> str:
 
 
 def default_cache_dir() -> str:
+    """Anchored at the package tree (like the compile cache) -- a
+    cwd-relative dir would silently miss (and re-trace) whenever the CLI
+    runs from a different directory.  MISTI_AOT_DIR overrides outright;
+    otherwise exports live under the (possibly MISTI_CACHE_DIR-overridden)
+    compile-cache root."""
     d = os.environ.get("MISTI_AOT_DIR")
     if d:
         return d
-    return os.path.join(os.getcwd(), ".jax_cache", "exports")
+    base = os.environ.get("MISTI_CACHE_DIR") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".jax_cache")
+    return os.path.join(base, "exports")
 
 
 def aot_enabled() -> bool:
@@ -130,6 +138,12 @@ class CachedProgram:
         h.update(jax.default_backend().encode())
         h.update(str(jax.config.jax_enable_x64).encode())
         h.update(str(jax.device_count()).encode())
+        # env knobs that select WHICH computation gets traced: without
+        # them a cached program from one mode would be silently loaded
+        # when the user requests another (the documented cross-validation
+        # overrides, engine/likelihood.py)
+        h.update(os.environ.get("MISTI_SPECTRUM", "vector").encode())
+        h.update(os.environ.get("MISTI_CORRECTION", "").encode())
         h.update(self._key.encode())
         for a in jax.tree_util.tree_leaves(args):
             s = _abstract(a)

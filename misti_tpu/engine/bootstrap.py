@@ -181,12 +181,12 @@ def _sweep_fused(times, lambdas, data, splits, mi_template, pu_template, *,
     stage ``(phase1_maxiter,)``; ``bucket`` optionally caps the compacted
     launch width (chunks run sequentially).
 
-    On a single device the stage programs go through the AOT export cache
-    (engine/aot.py): warm CLI reruns of the same scenario deserialize the
-    traced programs instead of re-tracing them -- tracing is the dominant
-    warm cost (~20-40 s per program shape vs ~2 s of device compute for a
-    whole 808-cell grid, scripts/tpu_probe_sweep.py).  Disable with
-    ``MISTI_AOT=0``.
+    On single-process meshes (any device count) the stage programs go
+    through the AOT export cache (engine/aot.py): warm CLI reruns of the
+    same scenario deserialize the traced programs instead of re-tracing
+    them -- tracing is the dominant warm cost (~20-40 s per program shape
+    vs ~2 s of device compute for a whole 808-cell grid,
+    scripts/tpu_probe_sweep.py).  Disable with ``MISTI_AOT=0``.
     """
     from .optimize import NMState
     from .sweep_fused import build_fused_sweep

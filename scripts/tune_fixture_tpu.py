@@ -155,56 +155,54 @@ def main():
         for n in (600, 1500, 4200) for s in (7, 11, 13)
     ]
     for mode, alpha, seed in candidates:
-        if True:
-            jafs = Jafs()
-            mk = (make_chunks(base, alpha, seed) if mode == "dir" else
-                  make_chunks_rate_jitter(rate_specs, alpha, seed)
-                  if mode == "jit" else
-                  make_chunks_split_jitter(split_specs, alpha[0], seed,
-                                           n_seg_mean=alpha[1])
-                  if mode == "split" else None)
-            jafs.jafs = [[float(v) for v in r] for r in mk]
-            data = make_bootstrap_data(jafs, BS, seed=0)
-            cell_data = np.tile(data, (len(splits), 1)).astype(np.float32)
-            t0 = time.perf_counter()
-            x, llh, conv, states = run_start(jnp.asarray(64), st_idx, x0,
-                                             cell_data)
-            x = np.array(x)
-            llh = np.array(llh)
-            conv = np.array(conv)
-            todo = np.flatnonzero(~conv)
-            sim = np.array(states.sim)
-            fsim = np.array(states.fsim)
-            itc = np.array(states.it)
-            nf = np.array(states.nfev)
-            for k in range(0, todo.size, W_TAIL):
-                chunk = todo[k : k + W_TAIL]
-                idx = np.concatenate([chunk, np.full(W_TAIL - chunk.size,
-                                                     chunk[0], chunk.dtype)])
-                x2, llh2 = run_resume(jnp.asarray(1000), st_idx[idx],
-                                      cell_data[idx], sim[idx], fsim[idx],
-                                      itc[idx], nf[idx])
-                x[chunk] = np.asarray(x2)[:chunk.size]
-                llh[chunk] = np.asarray(llh2)[:chunk.size]
-            res = SweepResult(
-                split_times=np.asarray(splits, float),
-                params=x.reshape(len(splits), BS + 1, -1),
-                llh=llh.reshape(len(splits), BS + 1),
-                data=data,
-            )
-            ci = split_time_confidence_interval(res, d.times, d.scale_time)
-            am = res.llh.argmax(axis=0)
-            hist = {splits[i]: int((am == i).sum())
-                    for i in sorted(set(am.tolist()))}
-            cum = np.concatenate([[0.0], np.cumsum(d.times)])
-            true_gens = cum[TRUE_SPLIT] * d.scale_time
-            lo, hi = ci["ci"]
-            ok = lo <= true_gens <= hi and hi > lo
-            print(f"{mode} par={alpha} seed={seed:3d}  full-data "
-                  f"argmax={splits[am[0]]}  hist={hist}  "
-                  f"CI=({lo:.1f},{hi:.1f}) true={true_gens:.1f} "
-                  f"{'OK' if ok else 'no'}  [{time.perf_counter()-t0:.0f} s]",
-                  flush=True)
+        jafs = Jafs()
+        mk = (make_chunks(base, alpha, seed) if mode == "dir" else
+              make_chunks_rate_jitter(rate_specs, alpha, seed)
+              if mode == "jit" else
+              make_chunks_split_jitter(split_specs, alpha[0], seed,
+                                       n_seg_mean=alpha[1]))
+        jafs.jafs = [[float(v) for v in r] for r in mk]
+        data = make_bootstrap_data(jafs, BS, seed=0)
+        cell_data = np.tile(data, (len(splits), 1)).astype(np.float32)
+        t0 = time.perf_counter()
+        x, llh, conv, states = run_start(jnp.asarray(64), st_idx, x0,
+                                         cell_data)
+        x = np.array(x)
+        llh = np.array(llh)
+        conv = np.array(conv)
+        todo = np.flatnonzero(~conv)
+        sim = np.array(states.sim)
+        fsim = np.array(states.fsim)
+        itc = np.array(states.it)
+        nf = np.array(states.nfev)
+        for k in range(0, todo.size, W_TAIL):
+            chunk = todo[k : k + W_TAIL]
+            idx = np.concatenate([chunk, np.full(W_TAIL - chunk.size,
+                                                 chunk[0], chunk.dtype)])
+            x2, llh2 = run_resume(jnp.asarray(1000), st_idx[idx],
+                                  cell_data[idx], sim[idx], fsim[idx],
+                                  itc[idx], nf[idx])
+            x[chunk] = np.asarray(x2)[:chunk.size]
+            llh[chunk] = np.asarray(llh2)[:chunk.size]
+        res = SweepResult(
+            split_times=np.asarray(splits, float),
+            params=x.reshape(len(splits), BS + 1, -1),
+            llh=llh.reshape(len(splits), BS + 1),
+            data=data,
+        )
+        ci = split_time_confidence_interval(res, d.times, d.scale_time)
+        am = res.llh.argmax(axis=0)
+        hist = {splits[i]: int((am == i).sum())
+                for i in sorted(set(am.tolist()))}
+        cum = np.concatenate([[0.0], np.cumsum(d.times)])
+        true_gens = cum[TRUE_SPLIT] * d.scale_time
+        lo, hi = ci["ci"]
+        ok = lo <= true_gens <= hi and hi > lo
+        print(f"{mode} par={alpha} seed={seed:3d}  full-data "
+              f"argmax={splits[am[0]]}  hist={hist}  "
+              f"CI=({lo:.1f},{hi:.1f}) true={true_gens:.1f} "
+              f"{'OK' if ok else 'no'}  [{time.perf_counter()-t0:.0f} s]",
+              flush=True)
     return 0
 
 
