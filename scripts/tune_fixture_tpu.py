@@ -52,7 +52,8 @@ def make_chunks(base, alpha, seed):
     return rows
 
 
-def make_chunks_split_jitter(split_specs, weights, seed, n_seg_mean=4200):
+def make_chunks_split_jitter(split_specs, weights, seed, n_seg_mean=4200,
+                             dir_alpha=None):
     """Per-chunk SPLIT heterogeneity: chunk spectra come from the model at
     split index 23/24/25 with probabilities (w, 1-2w, w) -- different
     genomic regions have different realized divergence, which is exactly
@@ -65,7 +66,10 @@ def make_chunks_split_jitter(split_specs, weights, seed, n_seg_mean=4200):
         length = int(rng.uniform(0.8, 1.2) * 13_500_000)
         n_seg = rng.poisson(n_seg_mean)
         k = rng.choice(3, p=list(weights))
-        counts = rng.multinomial(n_seg, split_specs[k])
+        p = split_specs[k]
+        if dir_alpha is not None:
+            p = rng.dirichlet(dir_alpha * p)
+        counts = rng.multinomial(n_seg, p)
         rows.append([length, *counts])
     return rows
 
@@ -150,9 +154,8 @@ def main():
     split_specs = np.stack(split_specs)
 
     candidates = [
-        ("split", (w, n), s)
-        for w in ((0.5, 0.0, 0.5), (0.45, 0.1, 0.45), (0.4, 0.2, 0.4))
-        for n in (600, 1500, 4200) for s in (7, 11, 13)
+        ("split", ((0.45, 0.1, 0.45), 600, da), s)
+        for da in (100.0, 200.0, 400.0) for s in (7, 11, 13, 17)
     ]
     for mode, alpha, seed in candidates:
         jafs = Jafs()
@@ -160,7 +163,8 @@ def main():
               make_chunks_rate_jitter(rate_specs, alpha, seed)
               if mode == "jit" else
               make_chunks_split_jitter(split_specs, alpha[0], seed,
-                                       n_seg_mean=alpha[1]))
+                                       n_seg_mean=alpha[1],
+                                       dir_alpha=alpha[2]))
         jafs.jafs = [[float(v) for v in r] for r in mk]
         data = make_bootstrap_data(jafs, BS, seed=0)
         cell_data = np.tile(data, (len(splits), 1)).astype(np.float32)
