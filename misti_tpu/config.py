@@ -68,11 +68,15 @@ def setup_platform(platform: str | None = None) -> str:
         # TPU matmuls default to one-pass bf16, which scrambles the expm
         # chains: measured max |dllh| ~ 6-22 vs the f64 reference on the
         # bench workload, large enough to flip the optimiser's argmax.
-        # Full-f32 MXU passes fix it (measured max rel dllh ~1.2e-4 with
-        # argmax agreement -- committed report in ACCURACY.md, generated by
-        # scripts/tpu_accuracy_check.py), and the workload is not
-        # matmul-FLOP-bound, so the extra MXU passes are nearly free.
-        jax.config.update("jax_default_matmul_precision", "highest")
+        # Multi-pass matmuls fix it; MISTI_MATMUL_PRECISION picks the
+        # tier.  Default "high" (3-pass bf16): measured max rel dllh
+        # 1.248e-4 vs 1.211e-4 for "highest" (full f32) with f32/f64
+        # argmax agreement on both surfaces -- indistinguishable accuracy
+        # at +59% spectrum / +14% corrected throughput (ACCURACY.md
+        # round-4 section, scripts/tpu_accuracy_check.py).
+        jax.config.update(
+            "jax_default_matmul_precision",
+            os.environ.get("MISTI_MATMUL_PRECISION", "high"))
     else:
         raise ValueError(f"unknown platform {platform!r} (use cpu|tpu|default)")
     # persistent compilation cache: first TPU compiles go through a remote

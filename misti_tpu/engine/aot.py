@@ -138,12 +138,14 @@ class CachedProgram:
         h.update(jax.default_backend().encode())
         h.update(str(jax.config.jax_enable_x64).encode())
         h.update(str(jax.device_count()).encode())
-        # env knobs that select WHICH computation gets traced: without
-        # them a cached program from one mode would be silently loaded
-        # when the user requests another (the documented cross-validation
-        # overrides, engine/likelihood.py)
+        # knobs that select WHICH computation gets traced: without them a
+        # cached program from one mode would be silently loaded when the
+        # user requests another (the documented cross-validation
+        # overrides, engine/likelihood.py; matmul precision is baked into
+        # the exported StableHLO's dot attributes)
         h.update(os.environ.get("MISTI_SPECTRUM", "vector").encode())
         h.update(os.environ.get("MISTI_CORRECTION", "").encode())
+        h.update(str(jax.config.jax_default_matmul_precision).encode())
         h.update(self._key.encode())
         for a in jax.tree_util.tree_leaves(args):
             s = _abstract(a)
