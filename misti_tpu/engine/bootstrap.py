@@ -12,6 +12,7 @@ interval computation (bs_conf_int.ipynb cells 2-3) is a few lines of numpy.
 from __future__ import annotations
 
 import dataclasses
+import os
 import random
 from typing import Optional, Sequence
 
@@ -252,6 +253,11 @@ def _sweep_fused(times, lambdas, data, splits, mi_template, pu_template, *,
     # AOT works for single-process meshes of any size (sharded inputs
     # export with their NamedShardings recorded); multi-host exports are
     # not supported yet
+    # AOT covers single-process meshes of any device count.  Multi-host is
+    # excluded: exporting works (2-process CPU sweeps export and match
+    # bitwise), but warm processes SIGSEGV deserializing the mid-sized
+    # modules on XLA:CPU -- the same jaxlib roundtrip bug documented in
+    # aot.aot_enabled -- and multi-host TPU cannot be exercised here.
     use_aot = aot_enabled() and not multiproc
     if use_aot:
         skey = scenario_key(

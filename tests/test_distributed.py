@@ -26,11 +26,12 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_workers(tmp_path, mode):
+def _run_workers(tmp_path, mode, extra_env=None, tag=""):
     coordinator = f"127.0.0.1:{_free_port()}"
-    outs = [str(tmp_path / f"proc{i}_{mode}.npz") for i in range(2)]
+    outs = [str(tmp_path / f"proc{i}_{mode}{tag}.npz") for i in range(2)]
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env.update(extra_env or {})
     procs = [
         subprocess.Popen(
             [sys.executable, WORKER, coordinator, "2", str(i), outs[i], mode],
@@ -114,3 +115,18 @@ def test_two_process_distributed_sweep_matches_single(tmp_path):
     np.testing.assert_allclose(res[0]["llh"], single.llh, rtol=0, atol=0)
     np.testing.assert_allclose(res[0]["params"], single.params, rtol=0, atol=0)
     np.testing.assert_array_equal(res[0]["nfev"], single.nfev)
+
+
+def test_two_process_sweep_keeps_aot_disabled(tmp_path):
+    """Multi-host sweeps must NOT use the AOT export cache even under
+    MISTI_AOT=1: warm worker processes SIGSEGV deserializing the mid-sized
+    exported modules on XLA:CPU (the jaxlib roundtrip bug documented in
+    engine/aot.py), so _sweep_fused hard-excludes multiproc meshes.  Two
+    back-to-back runs must produce no artifacts and identical tables."""
+    aot_dir = tmp_path / "exports"
+    env = {"MISTI_AOT": "1", "MISTI_AOT_DIR": str(aot_dir)}
+    res1 = _run_workers(tmp_path, "sweep", extra_env=env, tag="_a")
+    res2 = _run_workers(tmp_path, "sweep", extra_env=env, tag="_b")
+    assert not os.path.exists(aot_dir) or not os.listdir(aot_dir)
+    for key in ("llh", "params", "nfev"):
+        np.testing.assert_array_equal(res2[0][key], res1[0][key])
