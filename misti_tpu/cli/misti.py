@@ -218,12 +218,16 @@ def main(argv=None) -> int:
     if not np.isfinite(sol[1]):
         print("Failed to fit such a model.")
     elif clargs.bsMode == 0:
-        # OutputMigration re-evaluates the solution (migrationIO.py:350),
-        # which the reference's class counters include
+        # OutputMigration re-evaluates the solution ONLY when parameters
+        # were optimised (migrationIO.py:347-350 reuses the stored llh for
+        # len(mu) == 0), and the reference's class counters include that
+        # re-evaluation; we always need llh_aux for the .mi contents but
+        # count it only in the optimised case
         llh, aux = lik.llh_aux(np.asarray(sol[0]))
-        nfev += 1
-        corr_called += int(aux["corr_called"])
-        corr_failed += int(aux["corr_failed"])
+        if len(sol[0]):
+            nfev += 1
+            corr_called += int(aux["corr_called"])
+            corr_failed += int(aux["corr_failed"])
         text = mi_format.format_migration(
             llh=float(llh), split_t=spec.splitT, sample_date=spec.sample_date,
             thrh=spec.thrh, jafs=np.asarray(aux["jafs"]),

@@ -29,12 +29,21 @@ def make_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         description="Bootstrap x split-time sweep (test.bs workflow on device)."
     )
-    p.add_argument("fpsmc1")
-    p.add_argument("fpsmc2")
-    p.add_argument("fjafs", help="JSFS file with chunk rows (for bootstrap)")
-    p.add_argument("--splits", nargs=2, type=float, required=True,
+    p.add_argument("fpsmc1", nargs="?", default=None)
+    p.add_argument("fpsmc2", nargs="?", default=None)
+    p.add_argument("fjafs", nargs="?", default=None,
+                   help="JSFS file with chunk rows (for bootstrap)")
+    p.add_argument("--splits", nargs=2, type=float, default=None,
                    metavar=("FIRST", "LAST"),
                    help="inclusive split-time index range")
+    p.add_argument("--scenarios", default="",
+                   help="JSON manifest of a SCENARIO MATRIX to run resident "
+                        "in this process (the reference's 16-script test.bs/ "
+                        "suite shape): a list of objects with fpsmc1, "
+                        "fpsmc2, fjafs, splits=[first, last], name, and "
+                        "optional per-scenario mi/pu/sdate/rd overrides; "
+                        "same-shape scenarios share one compiled program "
+                        "(engine/bootstrap.py sweep_many)")
     p.add_argument("-bs", "--bsSize", type=int, default=100,
                    help="number of bootstrap replicates (plus the full data row)")
     p.add_argument("-mi", nargs=5, action="append", default=None,
@@ -75,7 +84,7 @@ def main(argv=None) -> int:
     from ..engine.bootstrap import (
         make_bootstrap_data,
         split_time_confidence_interval,
-        sweep,
+        sweep_many,
     )
     from ..io import jsfs as io_jsfs
     from ..io import psmc as io_psmc
@@ -84,15 +93,56 @@ def main(argv=None) -> int:
     Units.set_units_from_file(clargs.funits)
     Units.print_units()
 
-    data_jafs = io_jsfs.read_jafs(clargs.fjafs)
-    input_data = io_psmc.read_psmc(clargs.fpsmc1, clargs.fpsmc2, clargs.sdate,
-                                   clargs.rd)
+    # scenario descriptors: one (single-scenario mode) or a manifest matrix
+    if clargs.scenarios:
+        import os
 
-    data = make_bootstrap_data(data_jafs, clargs.bsSize, seed=clargs.seed)
-    splits = [float(v) for v in
-              np.arange(clargs.splits[0], clargs.splits[1] + 1)]
-    mi_t = [list(r) for r in (clargs.mi or [])]
-    pu_t = clargs.pu or []
+        with open(clargs.scenarios) as f:
+            manifest = json.load(f)
+        mdir = os.path.dirname(os.path.abspath(clargs.scenarios))
+        rel = lambda p: p if os.path.isabs(p) else os.path.join(mdir, p)
+        descs = []
+        for ent in manifest:
+            descs.append(dict(
+                name=ent["name"],
+                fpsmc1=rel(ent["fpsmc1"]), fpsmc2=rel(ent["fpsmc2"]),
+                fjafs=rel(ent["fjafs"]),
+                splits=ent["splits"],
+                mi=[list(map(str, r)) for r in ent.get("mi", clargs.mi or [])],
+                pu=[list(map(str, r)) for r in ent.get("pu", clargs.pu or [])],
+                sdate=float(ent.get("sdate", clargs.sdate)),
+                rd=int(ent.get("rd", clargs.rd)),
+            ))
+    else:
+        if not (clargs.fpsmc1 and clargs.fpsmc2 and clargs.fjafs
+                and clargs.splits):
+            print("error: either --scenarios MANIFEST or fpsmc1 fpsmc2 "
+                  "fjafs --splits are required", file=sys.stderr)
+            return 2
+        descs = [dict(name="", fpsmc1=clargs.fpsmc1, fpsmc2=clargs.fpsmc2,
+                      fjafs=clargs.fjafs, splits=clargs.splits,
+                      mi=[list(r) for r in (clargs.mi or [])],
+                      pu=clargs.pu or [], sdate=clargs.sdate, rd=clargs.rd)]
+
+    # host-side IO for every scenario up front
+    scenarios = []
+    meta = []
+    for d in descs:
+        data_jafs = io_jsfs.read_jafs(d["fjafs"])
+        input_data = io_psmc.read_psmc(d["fpsmc1"], d["fpsmc2"], d["sdate"],
+                                       d["rd"])
+        data = make_bootstrap_data(data_jafs, clargs.bsSize, seed=clargs.seed)
+        splits = [float(v) for v in
+                  np.arange(d["splits"][0], d["splits"][1] + 1)]
+        scenarios.append(dict(
+            name=d["name"], times=input_data.times,
+            lambdas=input_data.lambdas, data=data, splits=splits,
+            mi_template=d["mi"], pu_template=d["pu"],
+            sample_date=input_data.sample_date_discr,
+            unfolded=clargs.uf, cpfit=clargs.cpfit,
+            smooth=not clargs.nosmooth, correct=not clargs.trueEPS,
+        ))
+        meta.append(input_data)
 
     t0 = time.time()
     ctx = None
@@ -104,63 +154,91 @@ def main(argv=None) -> int:
     stage_kw = {} if clargs.stages is None else {
         "stage_caps": tuple(clargs.stages)
     }
-    res = sweep(
-        input_data.times, input_data.lambdas, data, splits, mi_t, pu_t,
-        tol=clargs.tol, sample_date=input_data.sample_date_discr,
-        unfolded=clargs.uf, cpfit=clargs.cpfit, smooth=not clargs.nosmooth,
-        correct=not clargs.trueEPS, maxiter=clargs.maxiter, **stage_kw,
-    )
+    per_scn_dt = []
+    results = {}
+    prog_cache = {}
+    for sc in scenarios:  # resident loop: same-shape scenarios share programs
+        t_sc = time.time()
+        results.update(sweep_many([sc], tol=clargs.tol,
+                                  maxiter=clargs.maxiter,
+                                  prog_cache=prog_cache, **stage_kw))
+        per_scn_dt.append(time.time() - t_sc)
     if ctx is not None:
         ctx.__exit__(None, None, None)
     dt = time.time() - t0
 
-    # per-cell greppable lines (reference MiSTI.py:240 format)
-    for si, st in enumerate(splits):
-        tgen = sum(input_data.times[0 : int(np.ceil(st))]) * input_data.scale_time
-        for b in range(data.shape[0]):
-            params = ", ".join(str(v) for v in res.params[si, b])
-            # row 0 is the unresampled spectrum = bs 0, rows 1..N the
-            # replicates (utils/generateJSFS_bs.py convention)
-            print(
-                f"bs_id = {b} \tsplitT = {st} \ttime = {tgen} "
-                f"\tmigration rates optim = [{params}] \tllh = {res.llh[si, b]}"
-            )
+    matrix = []
+    for sc, input_data, dt_sc in zip(scenarios, meta, per_scn_dt):
+        res = results[sc["name"]]
+        splits = sc["splits"]
+        data = sc["data"]
+        tag = f"scenario = {sc['name']} \t" if sc["name"] else ""
+        # per-cell greppable lines (reference MiSTI.py:240 format)
+        for si, st in enumerate(splits):
+            tgen = sum(input_data.times[0 : int(np.ceil(st))]) \
+                * input_data.scale_time
+            for b in range(data.shape[0]):
+                params = ", ".join(str(v) for v in res.params[si, b])
+                # row 0 is the unresampled spectrum = bs 0, rows 1..N the
+                # replicates (utils/generateJSFS_bs.py convention)
+                print(
+                    f"{tag}bs_id = {b} \tsplitT = {st} \ttime = {tgen} "
+                    f"\tmigration rates optim = [{params}] "
+                    f"\tllh = {res.llh[si, b]}"
+                )
 
-    ci = split_time_confidence_interval(res, input_data.times,
-                                        input_data.scale_time)
-    n_cells = len(splits) * data.shape[0]
-    # per-replicate argmax histogram: the spread the Student-t CI is built
-    # from (bs_conf_int.ipynb cell 2's value_counts)
-    am = res.llh.argmax(axis=0)
-    hist = {str(res.split_times[i]): int((am == i).sum())
-            for i in sorted(set(am.tolist()))}
-    summary = {
-        "cells": n_cells,
-        "wallclock_s": round(dt, 3),
-        "cells_per_s": round(n_cells / dt, 3),
-        "split_mean_gens": float(ci["mean"]),
-        "split_ci_gens": [float(ci["ci"][0]), float(ci["ci"][1])],
-        "ci_level": ci["level"],
-        "argmax_hist": hist,
-    }
-    if res.nfev is not None:
-        # actual likelihood evaluations performed across all lockstep fits
-        # (reference COUNT_LLH; the baseline does ~5.7 of these per
-        # core-second, BASELINE.md)
-        evals = int(res.nfev.sum())
-        summary["llh_evals"] = evals
-        summary["evals_per_s"] = round(evals / dt, 1)
-        summary["vs_baseline_1core"] = round(evals / dt / 5.7, 1)
-    print(json.dumps(summary))
-    if clargs.fout:
-        extra = {} if res.nfev is None else {"nfev": res.nfev}
-        np.savez(
-            clargs.fout, split_times=res.split_times, params=res.params,
-            llh=res.llh, data=res.data,
-            times=np.asarray(input_data.times),
-            scale_time=input_data.scale_time, **extra,
-        )
-        print("results table written to", clargs.fout)
+        ci = split_time_confidence_interval(res, input_data.times,
+                                            input_data.scale_time)
+        n_cells = len(splits) * data.shape[0]
+        # per-replicate argmax histogram: the spread the Student-t CI is
+        # built from (bs_conf_int.ipynb cell 2's value_counts)
+        am = res.llh.argmax(axis=0)
+        hist = {str(res.split_times[i]): int((am == i).sum())
+                for i in sorted(set(am.tolist()))}
+        summary = {
+            "cells": n_cells,
+            "wallclock_s": round(dt_sc, 3),
+            "cells_per_s": round(n_cells / dt_sc, 3),
+            "split_mean_gens": float(ci["mean"]),
+            "split_ci_gens": [float(ci["ci"][0]), float(ci["ci"][1])],
+            "ci_level": ci["level"],
+            "argmax_hist": hist,
+        }
+        if sc["name"]:
+            summary = {"scenario": sc["name"], **summary}
+        if res.nfev is not None:
+            # actual likelihood evaluations performed across all lockstep
+            # fits (reference COUNT_LLH; the baseline does ~5.7 of these
+            # per core-second, BASELINE.md)
+            evals = int(res.nfev.sum())
+            summary["llh_evals"] = evals
+            summary["evals_per_s"] = round(evals / dt_sc, 1)
+            summary["vs_baseline_1core"] = round(evals / dt_sc / 5.7, 1)
+        print(json.dumps(summary))
+        matrix.append(summary)
+        if clargs.fout:
+            fout = clargs.fout
+            if sc["name"]:
+                base, dot, ext = fout.rpartition(".")
+                fout = (f"{base}.{sc['name']}.{ext}" if dot
+                        else f"{fout}.{sc['name']}")
+            extra = {} if res.nfev is None else {"nfev": res.nfev}
+            np.savez(
+                fout, split_times=res.split_times, params=res.params,
+                llh=res.llh, data=res.data,
+                times=np.asarray(input_data.times),
+                scale_time=input_data.scale_time, **extra,
+            )
+            print("results table written to", fout)
+    if len(scenarios) > 1:
+        print(json.dumps({
+            "matrix_scenarios": len(scenarios),
+            "matrix_wallclock_s": round(dt, 3),
+            "matrix_cells": int(sum(m["cells"] for m in matrix)),
+            "matrix_llh_evals": int(sum(m.get("llh_evals", 0)
+                                        for m in matrix)),
+            "shared_programs": len(prog_cache),
+        }))
     return 0
 
 

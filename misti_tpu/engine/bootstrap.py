@@ -63,6 +63,7 @@ def sweep(
     bucket: Optional[int] = None,
     maxiter: int = 1000,
     phase1_maxiter: Optional[int] = None,
+    prog_cache: Optional[dict] = None,
     **spec_flags,
 ) -> SweepResult:
     """Fit every (replicate, split time) cell.
@@ -95,7 +96,8 @@ def sweep(
                             mi_template, pu_template, tol=tol, mesh=mesh,
                             sample_date=sample_date, stage_caps=stage_caps,
                             bucket=bucket, maxiter=maxiter,
-                            phase1_maxiter=phase1_maxiter, **spec_flags)
+                            phase1_maxiter=phase1_maxiter,
+                            prog_cache=prog_cache, **spec_flags)
 
     all_params = []
     all_llh = []
@@ -159,7 +161,8 @@ def _snap_width(n: int, n_dev: int, width0: int, bucket: Optional[int]) -> int:
 
 def _sweep_fused(times, lambdas, data, splits, mi_template, pu_template, *,
                  tol, mesh, sample_date, stage_caps=(16, 32, 64, 128, 256),
-                 bucket=None, maxiter=1000, phase1_maxiter=None, **spec_flags):
+                 bucket=None, maxiter=1000, phase1_maxiter=None,
+                 prog_cache=None, **spec_flags):
     """One-compile grid sweep via engine.sweep_fused, with MULTI-STAGE
     straggler compaction.
 
@@ -208,26 +211,29 @@ def _sweep_fused(times, lambdas, data, splits, mi_template, pu_template, *,
     caps = sorted({int(c) for c in stage_caps if 0 < int(c) < maxiter})
     caps.append(int(maxiter))
 
+    # the per-scenario tables are TRACED arguments (fs.llh_t): two
+    # scenarios whose fs.shape_key match run the SAME compiled program,
+    # so a resident scenario matrix (sweep_many) pays tracing/compile once
     if fs.n_params:
-        def fit_start(cap, st_i, x0_i, d_i):
+        def fit_start(cap, st_i, x0_i, d_i, tables):
             res, st = nelder_mead(
-                lambda p: -fs.llh(st_i, p, d_i), x0_i, xatol=tol, fatol=tol,
-                maxiter=cap, with_state=True,
+                lambda p: -fs.llh_t(st_i, p, d_i, tables), x0_i,
+                xatol=tol, fatol=tol, maxiter=cap, with_state=True,
             )
             return res.x, -res.fun, res.nfev, res.converged, st
 
-        def fit_resume(cap, st_i, d_i, sim, fsim, it, nfev0):
+        def fit_resume(cap, st_i, d_i, sim, fsim, it, nfev0, tables):
             st = NMState(sim=sim, fsim=fsim, it=it, nfev=nfev0,
                          aux_sum=jnp.zeros(0, sim.dtype))
             res, stn = nelder_mead(
-                lambda p: -fs.llh(st_i, p, d_i),
+                lambda p: -fs.llh_t(st_i, p, d_i, tables),
                 jnp.zeros(fs.n_params, sim.dtype), xatol=tol, fatol=tol,
                 maxiter=cap, state0=st, with_state=True,
             )
             return res.x, -res.fun, res.nfev, res.converged, stn
     else:
-        def fit_start(cap, st_i, x0_i, d_i):
-            llh = fs.llh(st_i, jnp.zeros(0), d_i)
+        def fit_start(cap, st_i, x0_i, d_i, tables):
+            llh = fs.llh_t(st_i, jnp.zeros(0), d_i, tables)
             return (jnp.zeros(0), llh, jnp.asarray(1), jnp.asarray(True),
                     NMState(sim=jnp.zeros((1, 0)), fsim=-llh[None],
                             it=jnp.asarray(0), nfev=jnp.asarray(1),
@@ -248,25 +254,42 @@ def _sweep_fused(times, lambdas, data, splits, mi_template, pu_template, *,
 
         out_shard = NamedSharding(mesh, PartitionSpec())
 
-    run_start = jax.jit(jax.vmap(fit_start, in_axes=(None, 0, 0, 0)),
-                        out_shardings=out_shard)
-    # AOT works for single-process meshes of any size (sharded inputs
-    # export with their NamedShardings recorded); multi-host exports are
-    # not supported yet
-    # AOT covers single-process meshes of any device count.  Multi-host is
-    # excluded: exporting works (2-process CPU sweeps export and match
-    # bitwise), but warm processes SIGSEGV deserializing the mid-sized
-    # modules on XLA:CPU -- the same jaxlib roundtrip bug documented in
-    # aot.aot_enabled -- and multi-host TPU cannot be exercised here.
+    # program reuse: keyed by the fused sweep's static structure (NOT the
+    # scenario's numeric tables, which are traced arguments) -- a resident
+    # scenario matrix (sweep_many) hits this cache in-process, and the AOT
+    # export layer persists the same programs across processes under the
+    # same key.  Multi-host AOT stays excluded: exporting works (2-process
+    # CPU sweeps export and match bitwise), but warm processes SIGSEGV
+    # deserializing the mid-sized modules on XLA:CPU -- the jaxlib
+    # roundtrip bug documented in aot.aot_enabled -- and multi-host TPU
+    # cannot be exercised here.
     use_aot = aot_enabled() and not multiproc
-    if use_aot:
-        skey = scenario_key(
-            np.asarray(times, float), np.asarray(lambdas, float), splits,
-            mi_template, pu_template, sample_date,
-            sorted(spec_flags.items()), tol, fs.n_params,
-        )
-        run_start = CachedProgram(run_start, "sweep-start-" + skey,
-                                  verbose=True)
+    skey = scenario_key(fs.shape_key, tol, fs.n_params, n_dev, multiproc)
+    cached = None if prog_cache is None else prog_cache.get(skey)
+    if cached is not None:
+        run_start, run_resume = cached
+    else:
+        run_start = jax.jit(jax.vmap(fit_start, in_axes=(None, 0, 0, 0, None)),
+                            out_shardings=out_shard)
+        if use_aot:
+            run_start = CachedProgram(run_start, "sweep-start-" + skey,
+                                      verbose=True)
+        run_resume = None
+        if fs.n_params:
+            run_resume = jax.jit(
+                jax.vmap(fit_resume, in_axes=(None, 0, 0, 0, 0, 0, 0, None)),
+                out_shardings=out_shard,
+            )
+            if use_aot:
+                run_resume = CachedProgram(run_resume, "sweep-resume-" + skey,
+                                           verbose=True)
+        if prog_cache is not None:
+            prog_cache[skey] = (run_start, run_resume)
+    # host numpy, NOT device_put: jit treats numpy inputs as replicated,
+    # which is also the multi-controller-safe convention (a locally
+    # committed jax.Array would clash with the global mesh in 2-process
+    # sweeps, test_distributed.py)
+    tables = dict(fs.tables)
     sp, orig = pad_to_multiple(st_idx, n_dev)
     dp, _ = pad_to_multiple(cell_data, n_dev, fill=1.0)
     xp, _ = pad_to_multiple(x0, n_dev)
@@ -278,6 +301,7 @@ def _sweep_fused(times, lambdas, data, splits, mi_template, pu_template, *,
             shard_replicates(mesh, sp),
             shard_replicates(mesh, xp),
             shard_replicates(mesh, dp),
+            tables,
         )
     x = np.array(x)[:orig]
     llh = np.array(llh)[:orig]
@@ -289,13 +313,6 @@ def _sweep_fused(times, lambdas, data, splits, mi_template, pu_template, *,
           f"unconverged {int((~conv).sum())}", file=sys.stderr)
 
     if fs.n_params and len(caps) > 1:
-        run_resume = jax.jit(
-            jax.vmap(fit_resume, in_axes=(None, 0, 0, 0, 0, 0, 0)),
-            out_shardings=out_shard,
-        )
-        if use_aot:
-            run_resume = CachedProgram(run_resume, "sweep-resume-" + skey,
-                                       verbose=True)
         sim_all = np.array(states.sim)[:orig]
         fsim_all = np.array(states.fsim)[:orig]
         it_all = np.array(states.it)[:orig]
@@ -320,6 +337,7 @@ def _sweep_fused(times, lambdas, data, splits, mi_template, pu_template, *,
                         shard_replicates(mesh, fsim_all[idx]),
                         shard_replicates(mesh, it_all[idx]),
                         shard_replicates(mesh, nfev_all[idx]),
+                        tables,
                     )
                 m = chunk.size
                 x[chunk] = np.asarray(x2)[:m]
@@ -342,6 +360,57 @@ def _sweep_fused(times, lambdas, data, splits, mi_template, pu_template, *,
         data=data,
         nfev=nfev.reshape(len(splits), b),
     )
+
+
+def sweep_many(
+    scenarios: Sequence[dict],
+    *,
+    tol: float = 1e-4,
+    mesh=None,
+    stage_caps: Sequence[int] = (16, 32, 64, 128, 256),
+    bucket: Optional[int] = None,
+    maxiter: int = 1000,
+    prog_cache: Optional[dict] = None,
+) -> dict:
+    """Run a MATRIX of sweep scenarios resident in one process.
+
+    The reference's benchmark suite is 16 shell scripts -- 4 genome pairs x
+    4 migration scenarios (test.bs/) -- each paying full process + compile
+    cost.  Here every scenario's numeric tables (psmc grids, rates, data,
+    templates) are TRACED arguments of one shared fused-sweep program
+    (engine/sweep_fused.py `llh_t`), so scenarios whose grid SHAPES and
+    static flags match (`FusedSweep.shape_key`) reuse the same compiled
+    stage programs: the whole matrix pays tracing/compilation once and each
+    additional scenario costs only device compute.
+
+    Each ``scenarios`` entry is a dict:
+      name: str
+      times, lambdas: the merged PSMC grid (io/psmc.py ReadPSMC output)
+      data: (B, 7) replicate spectra (make_bootstrap_data)
+      splits: sequence of split times
+      mi_template / pu_template: as in `sweep` ("ST" placeholders allowed)
+      sample_date: int (default 0)
+      any further keys are spec flags (cpfit, smooth, unfolded, correct...)
+
+    Returns {name: SweepResult}; pass ``prog_cache={}`` to inspect program
+    reuse (one entry per distinct shape signature).
+    """
+    mesh = mesh or make_mesh()
+    if prog_cache is None:
+        prog_cache = {}
+    results = {}
+    for sc in scenarios:
+        sc = dict(sc)
+        name = sc.pop("name")
+        results[name] = sweep(
+            sc.pop("times"), sc.pop("lambdas"), np.asarray(sc.pop("data"), float),
+            sc.pop("splits"), sc.pop("mi_template", ()),
+            sc.pop("pu_template", ()),
+            tol=tol, mesh=mesh, sample_date=int(sc.pop("sample_date", 0)),
+            stage_caps=stage_caps, bucket=bucket, maxiter=maxiter,
+            prog_cache=prog_cache, **sc,
+        )
+    return results
 
 
 def split_time_confidence_interval(

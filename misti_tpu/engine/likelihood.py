@@ -43,29 +43,6 @@ def _pulse_update_3state(p0, rate, pop: int):
     return jnp.stack(cols, axis=1)
 
 
-def _warn_f32_ect(correct: bool, cpfit: bool) -> None:
-    """The expected-coalescence-time residual (cpfit=False) is
-    ILL-CONDITIONED in float32: ECT(lam*T) = 1/2 - lam*T/12 + ..., so the
-    signal distinguishing rates is O(lam*T) on a ~0.5 baseline and f32's
-    ~1e-7 noise floor swamps it for the small lam*T of real PSMC grids
-    (measured: llh off by >2x on both CPU-f32 and TPU, strategy-dependent
-    garbage).  The reference runs f64 where the same formulation is fine
-    (parity validated in tests/); the cpfit residual is formed as a stable
-    difference and holds 1.2e-4 relative accuracy in f32 (ACCURACY.md)."""
-    import warnings
-
-    import jax as _j
-
-    if correct and not cpfit and not _j.config.jax_enable_x64:
-        warnings.warn(
-            "expected-coalescence-time correction (cpfit=False) is "
-            "numerically unreliable in float32 -- llh values can be off "
-            "by integer factors. Use --cpfit on accelerators, or the CPU "
-            "float64 platform for ECT-mode fits.",
-            RuntimeWarning, stacklevel=3,
-        )
-
-
 @dataclasses.dataclass
 class Likelihood:
     """Compiled likelihood functions for one ModelSpec."""
@@ -116,7 +93,6 @@ def build_likelihood(
             "scan-seq" if _jax.default_backend() == "cpu" else "fused-pallas"
         )
     sequential = correction_mode == "scan-seq"
-    _warn_f32_ect(spec.correct, spec.cpfit)
     b2 = ss.two_pop_basis()
     b1 = ss.one_pop_basis()
     s = spec.splitT

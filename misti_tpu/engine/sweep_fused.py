@@ -44,8 +44,15 @@ class FusedSweep:
     split_times: np.ndarray  # (S,)
     n_params: int
     init_params: np.ndarray
-    llh: callable  # (st_idx, params, data7) -> scalar
+    llh: callable  # (st_idx, params, data7) -> scalar (this scenario's tables)
     fit_cell: callable  # (st_idx, x0, data7, tol) -> (x, llh)
+    # scenario-matrix surface: every per-scenario numeric table is a TRACED
+    # argument of `llh_t`, so two scenarios with equal `shape_key` share one
+    # XLA program (and one AOT export) -- the compiled sweep depends only on
+    # the grid SHAPES and static flags, not on the psmc/jsfs values.
+    llh_t: callable = None  # (st_idx, params, data7, tables) -> scalar
+    tables: dict = None  # this scenario's stacked tables (host numpy)
+    shape_key: str = ""  # equal key => llh_t traces identically
 
 
 def build_fused_sweep(
@@ -73,9 +80,6 @@ def build_fused_sweep(
     per-interval tables -- the kernel shape is unchanged and one compile
     still covers the whole grid.
     """
-    from .likelihood import _warn_f32_ect
-
-    _warn_f32_ect(correct, cpfit)
     splits = [float(v) for v in split_times]
     b2 = ss.two_pop_basis()
     b1 = ss.one_pop_basis()
@@ -154,6 +158,17 @@ def build_fused_sweep(
                 for k in range(st, s_max):
                     smooth_ws[i, g, k, k] = 1.0
 
+    # every scenario-dependent numeric table, stacked over splits: traced
+    # arguments of llh_t (scenario-matrix program reuse, see FusedSweep)
+    tables_np = dict(
+        t_pre=t_pre, lh_pre=lh_pre, pad_pre=pad_pre, t_post=t_post,
+        lh_post=lh_post, catmask=catmask, is_sample=is_sample,
+        mi_base=mi_base, pu_base=pu_base, mi_masks=mi_masks,
+        lh_last=lh_last, s_of=np.asarray(s_of, np.int32),
+    )
+    if smooth:
+        tables_np["smooth_w"] = smooth_ws
+
     n_opt_mi = len(specs[0].opt_mi)
 
     ancient = jnp.asarray(b2.ancient)
@@ -198,22 +213,22 @@ def build_fused_sweep(
     k1 = jnp.asarray(b1.coal.T)
     norms1 = np.abs(b1.coal).sum(axis=0).max(keepdims=True)
 
-    def llh_fn(st_idx, params, data7):
+    def llh_fn(st_idx, params, data7, tables):
         st_idx = jnp.asarray(st_idx, jnp.int32)
         params = jnp.asarray(params, jnp.result_type(float)).reshape(n_par)
         data7 = jnp.asarray(data7)
-        take = lambda tbl: jnp.take(jnp.asarray(tbl), st_idx, axis=0)
-        tp = take(t_pre)  # (s_max,)
-        lhp = take(lh_pre)  # (s_max, 2)
-        pad = take(pad_pre)  # (s_max,) bool
-        tq = take(t_post)
-        lhq = take(lh_post)
-        cmask = take(catmask)
-        is_s = take(is_sample)
-        mib = take(mi_base)  # (s_max, 2): pre-split rows only
-        pub = take(pu_base)
-        masks = take(mi_masks)  # (n_par, s_max, 2)
-        lh_l = take(lh_last)  # (2,)
+        take = lambda name: jnp.take(jnp.asarray(tables[name]), st_idx, axis=0)
+        tp = take("t_pre")  # (s_max,)
+        lhp = take("lh_pre")  # (s_max, 2)
+        pad = take("pad_pre")  # (s_max,) bool
+        tq = take("t_post")
+        lhq = take("lh_post")
+        cmask = take("catmask")
+        is_s = take("is_sample")
+        mib = take("mi_base")  # (s_max, 2): pre-split rows only
+        pub = take("pu_base")
+        masks = take("mi_masks")  # (n_par, s_max, 2)
+        lh_l = take("lh_last")  # (2,)
 
         # parameter mapping
         if n_par:
@@ -324,7 +339,7 @@ def build_fused_sweep(
         lam_last = (pr0 + pr1) / (pr0 / lh_l[0] + pr1 / lh_l[1])
 
         if smooth:
-            w = take(smooth_ws)  # (2, s_max, s_max)
+            w = take("smooth_w")  # (2, s_max, s_max)
             lc_pre = jnp.stack([w[0] @ lc_pre[:, 0], w[1] @ lc_pre[:, 1]],
                                axis=1)
 
@@ -349,7 +364,7 @@ def build_fused_sweep(
             pre_body, p0, (lc_pre, tp, mi_pre, pu_pre, is_s, cmask)
         )
         # ancient rebase exactly at the split (sd == splitT, post-split grid)
-        st_val = jnp.take(jnp.asarray(s_of), st_idx)
+        st_val = jnp.take(jnp.asarray(tables["s_of"]), st_idx)
         p0 = jnp.where(sd == st_val, ancient @ p0, p0)
         p8 = collapse @ p0
 
@@ -389,15 +404,34 @@ def build_fused_sweep(
         llh = const + jnp.sum(dat * jnp.log(jnp.where(cats > 0, cats, 1.0)))
         return jnp.where(nonneg & valid & pos, llh, -jnp.inf)
 
+    def llh_baked(st_idx, params, data7):
+        return llh_fn(st_idx, params, data7, tables_np)
+
     def fit_cell(st_idx, x0, data7, tol=1e-4):
-        res = nelder_mead(lambda p: -llh_fn(st_idx, p, data7), x0,
+        res = nelder_mead(lambda p: -llh_baked(st_idx, p, data7), x0,
                           xatol=tol, fatol=tol)
         return res.x, -res.fun
+
+    # static-structure key: everything that selects WHICH computation
+    # llh_fn traces (shapes of the tables are hashed separately by jit /
+    # the AOT layer from the arguments themselves)
+    from .aot import scenario_key
+
+    shape_key = scenario_key(
+        "fused-sweep-v1", S, s_max, n_post, n_par, n_opt_mi, sd,
+        bool(correct), bool(cpfit), bool(smooth), bool(unfolded),
+        float(mixture_th), bool(static_no_mig), correction_mode,
+        spectrum_mode, _fused_corr is not None,
+        bool(pu_template) or bool(np.any(pu_base != 0)),
+    )
 
     return FusedSweep(
         split_times=np.asarray(splits, float),
         n_params=n_par,
         init_params=specs[0].init_params,
-        llh=llh_fn,
+        llh=llh_baked,
         fit_cell=fit_cell,
+        llh_t=llh_fn,
+        tables=tables_np,
+        shape_key=shape_key,
     )

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..model.statespace import correction_matrix
-from .expm import expm, expm_integral_moment
+from .expm import expm, expm_nc_moments
 
 _PREC = 1e-10  # reference `prec`: no-migration threshold & solver tolerance
 _NORM_EPS = 0.02  # reference `normEps`: near-identical-state merge threshold
@@ -34,20 +34,67 @@ _BISECT_ITERS = 60
 _EXPAND_ITERS = 40
 
 
-def _ect_conditional(lam, T):
-    """E[coal time | coal in (0,T)] shift: reference ExpectedCoalTimeOnePop.
+# -- stable "deviation" forms of the expected-coalescence-time kernels ------
+#
+# The ECT residuals (reference CorrectLambda.py:151-157, :237-251) compare
+# conditional expected coalescence times that ALL approach T/2 as rates -> 0:
+# the signal distinguishing rates is O(lam*T) riding on a T/2 baseline, and
+# the reference's formulas reach it through catastrophically-cancelling
+# differences (1/lam - T/expm1(lam*T) subtracts two ~1/lam-sized values; the
+# coalescence probability is formed as 1 - pnc with pnc ~ 1).  In f64 the
+# ~1e-16 noise is harmless; in f32 it swamps the signal (llh off by integer
+# factors -- the round-4 ACCURACY.md finding).  Every function below computes
+# the DEVIATION from the T/2 baseline directly -- Bernoulli/Taylor series
+# with no constant term for small arguments, the raw formula (conditioning is
+# fine there) for large -- so the residuals subtract only O(lam*T)-sized
+# quantities and hold working-precision relative accuracy in f32.  All forms
+# are algebraically identical to the reference's (same zeros, same values):
+# f64 parity is unchanged.
 
-    1/lam - T/(exp(lam*T)-1), with the reference's lam > 100 overflow guard.
+
+def _ect_dev(x):
+    """ECT(lam, T)/T - 1/2 as a function of x = lam*T (stretched units).
+
+    ECT(lam, T) = 1/lam - T/expm1(lam*T) (reference ExpectedCoalTimeOnePop,
+    CorrectLambda.py:67-77, incl. the lam > 100 tail guard).  Series
+    1/x - 1/expm1(x) - 1/2 = -x/12 + x^3/720 - x^5/30240 + x^7/1209600
+    - x^9/47900160 + O(x^11) (Bernoulli numbers); truncation < 6e-10 at the
+    x = 1 switch point.
     """
-    x = lam * T
-    tail = jnp.where(lam > 100.0, 0.0, T / jnp.expm1(jnp.where(lam > 100.0, 1.0, x)))
-    return 1.0 / lam - tail
+    x2 = x * x
+    ser = x * (
+        -1.0 / 12.0
+        + x2 * (1.0 / 720.0 + x2 * (-1.0 / 30240.0 + x2 * (
+            1.0 / 1209600.0 + x2 * (-1.0 / 47900160.0))))
+    )
+    hot = x > 100.0
+    tail = jnp.where(hot, 0.0, 1.0 / jnp.expm1(jnp.where(hot, 1.0, x)))
+    direct = 1.0 / x - tail - 0.5
+    return jnp.where(x < 1.0, ser, direct)
 
 
-def _ect_nonconditional(lam, T):
-    """(1 - exp(-lam T)(1 + lam T)) / lam (reference :79-80)."""
-    x = lam * T
-    return (1.0 - jnp.exp(-x) * (1.0 + x)) / lam
+def _em1m(x):
+    """1 - exp(-x), the per-state coalescence probability (stable expm1)."""
+    return -jnp.expm1(-x)
+
+
+def _ectnc_dev(x):
+    """ECTnc(x) - (1 - e^-x)/2: the no-migration branch's numerator term
+    with its T/2 baseline removed per unit coalescence probability.
+
+    ECTnc(lam, T)/T = (1 - e^-x (1 + x))/x (reference :79-80, x = lam*T).
+    Series sum_{m>=2} (-1)^(m+1) (m-1)/(2 (m+1)!) x^m; truncation < 2e-8
+    at the x = 1 switch point.
+    """
+    ser = x * x * (
+        -1.0 / 12.0
+        + x * (1.0 / 24.0 + x * (-1.0 / 80.0 + x * (1.0 / 360.0 + x * (
+            -1.0 / 2016.0 + x * (1.0 / 13440.0 + x * (-1.0 / 103680.0
+            + x * (1.0 / 907200.0 + x * (-1.0 / 8870400.0))))))))
+    )
+    xs = jnp.where(x < 1.0, 1.0, x)
+    direct = (1.0 - jnp.exp(-xs) * (1.0 + xs)) / xs - 0.5 * _em1m(xs)
+    return jnp.where(x < 1.0, ser, direct)
 
 
 def _lm(res_fn, x0, lower=None, iters=_LM_ITERS, early_exit=False):
@@ -138,15 +185,23 @@ def _residual_coal_time(l, mu, lh, p_norm):
     """LambdaSystem (CorrectLambda.py:151-157): match per-genome expected
     coalescence times of the 3-state migration CTMC to the PSMC one-pop
     values.  ``p_norm``: (2,3) per-genome normalised location probabilities.
+
+    Stable form (algebraically identical to the reference's): both
+    conditional means approach T/2 = 1/2 as rates -> 0, so the residual is
+    formed as a difference of DEVIATIONS from 1/2.  The coalescence
+    probability 1 - pnc equals the coal-rate-weighted occupancy integral
+    l0 (N1 p)_0 + l1 (N1 p)_1 exactly (the generator's column sums are
+    (-l0, -l1, 0)), a positive sum with no cancellation; the numerator's
+    T/2 baseline is removed analytically via J = K - (T/2) N1
+    (kernels/expm.py `expm_nc_moments`).
     """
     m = correction_matrix(l[0], l[1], mu[0], mu[1])
-    e, _, k = expm_integral_moment(m, 1.0)
-    ep = p_norm @ e.T  # (2,3)
-    pnc = ep.sum(-1)
-    kp = p_norm @ k.T
-    coal_t2 = (l[0] * kp[:, 0] + l[1] * kp[:, 1]) / (1.0 - pnc)
-    coal_t1 = _ect_conditional(lh, 1.0)
-    return coal_t2 - coal_t1
+    n1, j = expm_nc_moments(m, 1.0)
+    n1p = p_norm @ n1.T  # (2,3)
+    jp = p_norm @ j.T
+    denom = l[0] * n1p[:, 0] + l[1] * n1p[:, 1]  # == 1 - pnc
+    num = l[0] * jp[:, 0] + l[1] * jp[:, 1]  # == l.Kp - denom/2
+    return num / denom - _ect_dev(lh)
 
 
 def _residual_cp(l, mu, lh, p_raw):
@@ -161,11 +216,17 @@ def _residual_cp(l, mu, lh, p_raw):
 
 
 def _residual_nomig(l, lh, pr0):
-    """LambdaSystemNoMigration (CorrectLambda.py:237-251), closed form."""
-    pnc = pr0[:, 0] * jnp.exp(-l[0]) + pr0[:, 1] * jnp.exp(-l[1]) + pr0[:, 2]
-    ect = jnp.stack([_ect_nonconditional(l[0], 1.0), _ect_nonconditional(l[1], 1.0)])
-    coal_t = (pr0[:, 0] * ect[0] + pr0[:, 1] * ect[1]) / (1.0 - pnc)
-    return coal_t - _ect_conditional(lh, 1.0)
+    """LambdaSystemNoMigration (CorrectLambda.py:237-251), closed form.
+
+    Stable deviation form: 1 - pnc = pr00 (1-e^-l0) + pr01 (1-e^-l1) via
+    expm1 (the pr02 component never coalesces), and the numerator's T/2
+    baseline is cancelled analytically inside `_ectnc_dev`.
+    """
+    d0, d1 = _em1m(l[0]), _em1m(l[1])
+    q0, q1 = _ectnc_dev(l[0]), _ectnc_dev(l[1])
+    denom = pr0[:, 0] * d0 + pr0[:, 1] * d1  # == 1 - pnc
+    num = pr0[:, 0] * q0 + pr0[:, 1] * q1
+    return num / denom - _ect_dev(lh)
 
 
 def _nomig_closed_form(lh, T, p0):
@@ -213,7 +274,15 @@ def solve_lambda_system(lh, T, mu, p0, cpfit: bool, mixture_th: float = 0.0,
     dtype = p0.dtype
     lh = jnp.asarray(lh, dtype)
     mu = jnp.asarray(mu, dtype)
-    T = jnp.asarray(T, dtype)
+    T_raw = jnp.asarray(T, dtype)
+    # zero-length intervals (merged PSMC grids can carry duplicate time
+    # points, e.g. --sdate landing exactly on an existing knot): the solve
+    # is degenerate (the T -> 1 stretch divides by zero; the reference
+    # CRASHES there, MigrationInference.py:305-354 has no pre-split guard).
+    # Pin lc = 1 and propagate p0 unchanged -- the reference's own
+    # post-split T == 0 rule (:357-359) and the fused grid kernel's padding
+    # rule (kernels/correction_pallas.py `_solve_round`).
+    T = jnp.where(T_raw == 0, jnp.ones_like(T_raw), T_raw)
 
     s = p0.sum(-1)  # (2,)
     p_norm = p0 / s[:, None]
@@ -277,6 +346,8 @@ def solve_lambda_system(lh, T, mu, p0, cpfit: bool, mixture_th: float = 0.0,
         bail = mixture < mixture_th
         lc = jnp.where(bail, jnp.full_like(lc, -1.0), lc)
         p_out = jnp.where(bail, p0, p_out)
+    lc = jnp.where(T_raw == 0, jnp.ones_like(lc), lc)
+    p_out = jnp.where(T_raw == 0, p0, p_out)
     return lc, p_out
 
 
@@ -291,12 +362,15 @@ def fit_single_pop(lh, T, weights):
     dtype = jnp.result_type(T, 0.0)
     lh = jnp.asarray(lh, dtype)
     w = weights / weights.sum()
-    te = w[0] * _ect_conditional(lh[0], T) + w[1] * _ect_conditional(lh[1], T)
+    # deviation form: ECT(lam, T) = T*(1/2 + _ect_dev(lam*T)), so the T/2
+    # baselines and the common factor T cancel analytically -- same root,
+    # same sign pattern, f32-stable (see _ect_dev)
+    te_dev = w[0] * _ect_dev(lh[0] * T) + w[1] * _ect_dev(lh[1] * T)
     x0 = w[0] * lh[0] + w[1] * lh[1]
     lower = 0.01 * jnp.minimum(lh[0], lh[1])
 
     def g(lam):
-        return _ect_conditional(lam, T) - te  # decreasing in lam
+        return _ect_dev(lam * T) - te_dev  # decreasing in lam
 
     # expand upper bracket from x0 until g(hi) < 0
     def expand(carry, _):

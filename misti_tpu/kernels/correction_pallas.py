@@ -128,7 +128,8 @@ def _ps_horner(p, coeffs):
 
 _CE = [1.0 / math.factorial(k) for k in range(19)]
 _C1 = [1.0 / math.factorial(k + 1) for k in range(19)]
-_C2 = [1.0 / math.factorial(k + 2) for k in range(19)]
+_CPHI = [0.0] + _CE[1:]  # E - I series (no constant term)
+_CJ = [0.0] + [k / (2.0 * math.factorial(k + 2)) for k in range(1, 19)]
 
 
 def _expm3(a, max_squarings=14, unroll=True):
@@ -153,48 +154,55 @@ def _expm3(a, max_squarings=14, unroll=True):
     return jax.lax.fori_loop(0, max_squarings, body, e, unroll=False)
 
 
-def _expm3_moment(a, max_squarings=14, unroll=True):
-    """(E, K) of the stretched (t=1) generator: E = e^a, K = int_0^1 s e^{as} ds.
+def _expm3_nc_moments(a, max_squarings=14, unroll=True):
+    """(N1, J) of the stretched (t=1) generator: N1 = int_0^1 e^{as} ds and
+    the CENTERED first moment J = int_0^1 (s - 1/2) e^{as} ds.
 
-    Same quantities as kernels/expm.py `expm_integral_moment(m, 1.0)` (used by
-    the expected-coalescence-time residual, CorrectLambda.py:94-110) but via
-    the phi-function identities K(h) = h^2 (phi1 - phi2)(a h) and the interval
-    doublings  K(2h) = K + E (K + h N1),  N1(2h) = N1 + E N1,  E(2h) = E^2 --
-    no 9x9 augmented matrix, everything stays 3x3 elementwise.
+    Same construction as kernels/expm.py `expm_nc_moments` (see its docstring
+    for the derivation), elementwise on 3x3 entry-tuples: the expected-
+    coalescence-time residual (CorrectLambda.py:94-110, :151-157) is formed
+    from DEVIATIONS of both conditional means from their shared T/2 baseline,
+    so J's Taylor series has no constant term and every quantity holds
+    working-precision RELATIVE accuracy in f32 -- the raw (E, K, 1 - pnc)
+    formulation loses the O(lam*T) signal to cancellation (ACCURACY.md).
+    Doubling carries Phi = E - I (Phi(2h) = Phi^2 + 2 Phi, cancellation-free)
+    with N1(2h) = 2 N1 + Phi N1 and J(2h) = 2 J + Phi J + (h/2) Phi N1.
     """
     b, s, scale = _scaling(a, max_squarings)
     p = _ps_powers(b)
-    e = _ps_horner(p, _CE)
     phi1 = _ps_horner(p, _C1)
-    phi2 = _ps_horner(p, _C2)
+    phim = _ps_horner(p, _CPHI)  # E - I: no identity term
     h = scale  # current accumulated interval length (starts at 2^-s, ends at 1)
     n1 = tuple(h * x for x in phi1)
-    k = tuple(h * h * (x - y) for x, y in zip(phi1, phi2))
+    j = tuple(h * h * x for x in _ps_horner(p, _CJ))
 
-    def step(live, e, k, n1, h):
-        tmp = tuple(kk + h * nn for kk, nn in zip(k, n1))
-        kn = tuple(x + y for x, y in zip(k, _m3_mul(e, tmp)))
-        n1n = tuple(x + y for x, y in zip(n1, _m3_mul(e, n1)))
-        en = _m3_mul(e, e)
-        k = _m3_select(live, kn, k)
+    def step(live, phim, n1, j, h):
+        tmp = _m3_mul(phim, n1)
+        jn = tuple(
+            2.0 * jj + pj + 0.5 * h * tm
+            for jj, pj, tm in zip(j, _m3_mul(phim, j), tmp)
+        )
+        n1n = tuple(2.0 * nn + tm for nn, tm in zip(n1, tmp))
+        phin = tuple(pp + 2.0 * ph for pp, ph in zip(_m3_mul(phim, phim), phim))
+        j = _m3_select(live, jn, j)
         n1 = _m3_select(live, n1n, n1)
-        e = _m3_select(live, en, e)
+        phim = _m3_select(live, phin, phim)
         h = jnp.where(live, 2.0 * h, h)
-        return e, k, n1, h
+        return phim, n1, j, h
 
     if unroll:
         for i in range(max_squarings):
-            e, k, n1, h = step(float(i) < s, e, k, n1, h)
-        return e, k
+            phim, n1, j, h = step(float(i) < s, phim, n1, j, h)
+        return n1, j
 
     def body(i, st):
-        e, k, n1, h = st
-        return step(i.astype(s.dtype) < s, e, k, n1, h)
+        phim, n1, j, h = st
+        return step(i.astype(s.dtype) < s, phim, n1, j, h)
 
-    e, k, _, _ = jax.lax.fori_loop(
-        0, max_squarings, body, (e, k, n1, h), unroll=False
+    _, n1, j, _ = jax.lax.fori_loop(
+        0, max_squarings, body, (phim, n1, j, h), unroll=False
     )
-    return e, k
+    return n1, j
 
 
 def _pulse_cols(q0, q1, q2, rate, pop):
@@ -224,15 +232,46 @@ def _expm1(x):
     return jnp.where(small, ser, jnp.exp(x) - 1.0)
 
 
-def _ect_conditional(lam, guard=100.0):
-    """E[coal time | coal in (0,1)] (stretched units; CorrectLambda.py:67-77)."""
-    hot = lam > guard
-    tail = jnp.where(hot, 0.0, 1.0 / _expm1(jnp.where(hot, 1.0, lam)))
-    return 1.0 / lam - tail
+def _em1m(x):
+    """1 - exp(-x): per-state coalescence probability.  Series below 0.5
+    (no expm1 in Mosaic; the naive 1 - exp(-x) loses leading digits exactly
+    at the small stretched rates this kernel lives at); direct above, where
+    conditioning is fine and the series would not converge in 7 terms."""
+    small = x < 0.5
+    xs = jnp.where(small, x, 0.0)
+    ser = xs * (1.0 - xs / 2 * (1.0 - xs / 3 * (1.0 - xs / 4 * (
+        1.0 - xs / 5 * (1.0 - xs / 6 * (1.0 - xs / 7))))))
+    return jnp.where(small, ser, 1.0 - jnp.exp(-x))
 
 
-def _ect_nonconditional(lam):
-    return (1.0 - jnp.exp(-lam) * (1.0 + lam)) / lam
+def _ect_dev(x):
+    """ECT(lam, T)/T - 1/2 at x = lam*T (kernels/correction.py `_ect_dev`:
+    the f32-stable deviation form of CorrectLambda.py:67-77, Bernoulli
+    series below 1, direct formula with the lam > 100 tail guard above)."""
+    x2 = x * x
+    ser = x * (
+        -1.0 / 12.0
+        + x2 * (1.0 / 720.0 + x2 * (-1.0 / 30240.0 + x2 * (
+            1.0 / 1209600.0 + x2 * (-1.0 / 47900160.0))))
+    )
+    hot = x > 100.0
+    tail = jnp.where(hot, 0.0, 1.0 / _expm1(jnp.where(hot, 1.0, x)))
+    direct = 1.0 / x - tail - 0.5
+    return jnp.where(x < 1.0, ser, direct)
+
+
+def _ectnc_dev(x):
+    """ECTnc(x) - (1 - e^-x)/2 (kernels/correction.py `_ectnc_dev`): the
+    no-migration numerator term with its T/2 baseline removed."""
+    ser = x * x * (
+        -1.0 / 12.0
+        + x * (1.0 / 24.0 + x * (-1.0 / 80.0 + x * (1.0 / 360.0 + x * (
+            -1.0 / 2016.0 + x * (1.0 / 13440.0 + x * (-1.0 / 103680.0
+            + x * (1.0 / 907200.0 + x * (-1.0 / 8870400.0))))))))
+    )
+    xs = jnp.where(x < 1.0, 1.0, x)
+    direct = (1.0 - jnp.exp(-xs) * (1.0 + xs)) / xs - 0.5 * _em1m(xs)
+    return jnp.where(x < 1.0, ser, direct)
 
 
 def _lm2(res_fn, x0, x1, n_iters, lower0, lower1):
@@ -432,27 +471,39 @@ def _sweep_body(
                 r0 = cs[0] * p00 + cs[1] * p01 + cs[2] * p02 - jnp.exp(-lh_s0) * s0
                 r1 = cs[0] * p10 + cs[1] * p11 + cs[2] * p12 - jnp.exp(-lh_s1) * s1
                 return r0, r1
-            e, k = _expm3_moment(_corr_mat(a0, a1, mu0s, mu1s),
-                                 max_squarings=max_squarings, unroll=unroll)
-            cs = [e[0 + j] + e[3 + j] + e[6 + j] for j in range(3)]
-            pnc0 = cs[0] * pn00 + cs[1] * pn01 + cs[2] * pn02
-            pnc1 = cs[0] * pn10 + cs[1] * pn11 + cs[2] * pn12
-            kp00 = k[0] * pn00 + k[1] * pn01 + k[2] * pn02
-            kp01 = k[3] * pn00 + k[4] * pn01 + k[5] * pn02
-            kp10 = k[0] * pn10 + k[1] * pn11 + k[2] * pn12
-            kp11 = k[3] * pn10 + k[4] * pn11 + k[5] * pn12
-            t2_0 = (a0 * kp00 + a1 * kp01) / (1.0 - pnc0)
-            t2_1 = (a0 * kp10 + a1 * kp11) / (1.0 - pnc1)
-            return t2_0 - _ect_conditional(lh_s0), t2_1 - _ect_conditional(lh_s1)
+            # f32-stable deviation form (kernels/correction.py
+            # `_residual_coal_time`): 1 - pnc == a0 (N1 p)_0 + a1 (N1 p)_1
+            # exactly (generator column sums are (-a0, -a1, 0)), and the
+            # numerator's T/2 baseline is removed analytically via
+            # J = K - N1/2 -- no ~1-sized quantities are ever subtracted.
+            n1, jm = _expm3_nc_moments(_corr_mat(a0, a1, mu0s, mu1s),
+                                       max_squarings=max_squarings,
+                                       unroll=unroll)
+            n1p00 = n1[0] * pn00 + n1[1] * pn01 + n1[2] * pn02
+            n1p01 = n1[3] * pn00 + n1[4] * pn01 + n1[5] * pn02
+            n1p10 = n1[0] * pn10 + n1[1] * pn11 + n1[2] * pn12
+            n1p11 = n1[3] * pn10 + n1[4] * pn11 + n1[5] * pn12
+            jp00 = jm[0] * pn00 + jm[1] * pn01 + jm[2] * pn02
+            jp01 = jm[3] * pn00 + jm[4] * pn01 + jm[5] * pn02
+            jp10 = jm[0] * pn10 + jm[1] * pn11 + jm[2] * pn12
+            jp11 = jm[3] * pn10 + jm[4] * pn11 + jm[5] * pn12
+            den0 = a0 * n1p00 + a1 * n1p01  # == 1 - pnc0
+            den1 = a0 * n1p10 + a1 * n1p11
+            t2_0 = (a0 * jp00 + a1 * jp01) / den0  # conditional mean - 1/2
+            t2_1 = (a0 * jp10 + a1 * jp11) / den1
+            return t2_0 - _ect_dev(lh_s0), t2_1 - _ect_dev(lh_s1)
 
         def res_nomig(a0, a1):
-            pnc0 = pn00 * jnp.exp(-a0) + pn01 * jnp.exp(-a1) + pn02
-            pnc1 = pn10 * jnp.exp(-a0) + pn11 * jnp.exp(-a1) + pn12
-            e0 = _ect_nonconditional(a0)
-            e1 = _ect_nonconditional(a1)
-            ct0 = (pn00 * e0 + pn01 * e1) / (1.0 - pnc0)
-            ct1 = (pn10 * e0 + pn11 * e1) / (1.0 - pnc1)
-            return ct0 - _ect_conditional(lh_raw_s0), ct1 - _ect_conditional(lh_raw_s1)
+            # stable deviation form (kernels/correction.py `_residual_nomig`)
+            d0 = _em1m(a0)
+            d1 = _em1m(a1)
+            q0 = _ectnc_dev(a0)
+            q1 = _ectnc_dev(a1)
+            den0 = pn00 * d0 + pn01 * d1  # == 1 - pnc0
+            den1 = pn10 * d0 + pn11 * d1
+            ct0 = (pn00 * q0 + pn01 * q1) / den0
+            ct1 = (pn10 * q0 + pn11 * q1) / den1
+            return ct0 - _ect_dev(lh_raw_s0), ct1 - _ect_dev(lh_raw_s1)
 
         if cpfit:
             # no-migration closed form (CorrectLambda.py:213-235), unstretched

@@ -264,6 +264,100 @@ def expm_action_pair(kmat: jax.Array, coeffs: jax.Array, basis_norms,
     return (jnp.where(overflow, bad, p1), jnp.where(overflow, bad, n1p))
 
 
+def expm_nc_moments(m: jax.Array, t, max_squarings: int = 20):
+    """Return (N1, J) with N1 = int_0^t e^{Ms} ds and the CENTERED first
+    moment J = K - (t/2) N1 = int_0^t (s - t/2) e^{Ms} ds -- both formed
+    without catastrophic cancellation in float32.
+
+    Motivation: the expected-coalescence-time residual (reference
+    CorrectLambda.py:151-157) needs E[s | coal in (0,t)] - ECT_onepop, a
+    difference of two quantities that both approach t/2 as rates -> 0.
+    Forming it from (E, N1, K) loses the signal in f32 (ACCURACY.md): the
+    conditional mean is (c^T K p)/(c^T N1 p) ~ t/2 + O(||M|| t^2) and the
+    t/2 baselines cancel.  With J the t/2 is removed ANALYTICALLY:
+
+        E[s | coal] - t/2 = (c^T J p) / (c^T N1 p),
+
+    and J's Taylor series has no constant term (int_0^t (s - t/2) ds = 0):
+
+        J(h) = h^2 sum_{k>=1} k/(2 (k+2)!) (M h)^k  (per scaled step),
+
+    so every entry is computed at working-precision RELATIVE accuracy.
+    Interval doubling carries Phi = E - I (also cancellation-free:
+    Phi(2h) = Phi^2 + 2 Phi) with
+
+        N1(2h) = 2 N1 + Phi N1,
+        J(2h)  = 2 J + Phi J + (h/2) Phi N1,
+
+    derived from K(2h) = K + E (K + h N1) and the definition of J.
+    Identical (to roundoff) to ``expm_integral_moment``'s t*N1 - N2 in f64;
+    the point is the f32 conditioning.
+    """
+    import math
+
+    m = jnp.asarray(m)
+    t = jnp.asarray(t, m.dtype)
+    b = m * t[..., None, None]
+    norm = jnp.linalg.norm(b, ord=1, axis=(-2, -1))
+    s = jnp.maximum(0, jnp.ceil(jnp.log2(norm / _THETA_TAYLOR))).astype(jnp.int32)
+    s = jnp.where(jnp.isfinite(norm) & (norm > 0), s, 0)
+    s = jnp.minimum(s, max_squarings)
+    scale = jnp.exp2(-s.astype(m.dtype))
+    bs = b * scale[..., None, None]
+
+    n = m.shape[-1]
+    ident = jnp.broadcast_to(jnp.eye(n, dtype=m.dtype), m.shape)
+    p = [ident, bs]
+    for _ in range(5):  # bs^2 .. bs^6
+        p.append(p[-1] @ bs)
+    b6 = p[6]
+
+    def horner(coeffs):
+        def blk(k0):
+            out = coeffs[k0] * p[0]
+            for j in range(1, 6):
+                if k0 + j < len(coeffs):
+                    out = out + coeffs[k0 + j] * p[j]
+            return out
+
+        b2 = blk(12) + (coeffs[18] * p[6] if len(coeffs) > 18 else 0.0)
+        return blk(0) + b6 @ (blk(6) + b6 @ b2)
+
+    c_phi1 = [1.0 / math.factorial(k + 1) for k in range(19)]
+    c_phim = [0.0] + [1.0 / math.factorial(k) for k in range(1, 19)]
+    c_j = [0.0] + [k / (2.0 * math.factorial(k + 2)) for k in range(1, 19)]
+
+    h = (t * scale)[..., None, None]
+    n1 = h * horner(c_phi1)
+    j = h * h * horner(c_j)
+    phi = horner(c_phim)  # E - I, no identity term
+
+    def cond(carry):
+        i = carry[0]
+        return i < jnp.minimum(jnp.max(s), max_squarings)
+
+    def body(carry):
+        i, phi, n1, j, h = carry
+        do = (i < s)[..., None, None]
+        tmp = phi @ n1
+        jn = 2.0 * j + phi @ j + 0.5 * h * tmp
+        n1n = 2.0 * n1 + tmp
+        phin = phi @ phi + 2.0 * phi
+        hn = 2.0 * h
+        return (
+            i + 1,
+            jnp.where(do, phin, phi),
+            jnp.where(do, n1n, n1),
+            jnp.where(do, jn, j),
+            jnp.where(do, hn, h),
+        )
+
+    _, _, n1, j, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), phi, n1, j, h)
+    )
+    return n1, j
+
+
 def expm_integral_moment(m: jax.Array, t) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Return (E, N1, K): exponential, occupancy integral and first moment.
 

@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 OUT = "/tmp/misti_acc_tpu.npz"
 
 
-def build(true_eps: bool):
+def build(true_eps: bool, cpfit: bool = True):
     from misti_tpu.engine.likelihood import build_likelihood
     from misti_tpu.engine.spec import build_spec
 
@@ -45,7 +45,7 @@ def build(true_eps: bool):
     sfs = [0.0, *rng.integers(200, 6000, size=7).astype(float)]
     spec = build_spec(
         times, [list(v) for v in lams], sfs, split_t,
-        [[1, 2, split_t, 0.3, 1]], [], unfolded=True, cpfit=True, smooth=False,
+        [[1, 2, split_t, 0.3, 1]], [], unfolded=True, cpfit=cpfit, smooth=False,
         correct=not true_eps,
     )
     return build_likelihood(spec)
@@ -65,9 +65,13 @@ def main() -> int:
 
     llh_corr = np.asarray(build(False).llh_batch(PARAMS))
     llh_true = np.asarray(build(True).llh_batch(PARAMS))
+    # ECT mode (cpfit=False -- the reference's DEFAULT residual): usable in
+    # f32 since the round-5 deviation-form reformulation (kernels/
+    # correction.py _ect_dev and friends); measured here like the others
+    llh_ect = np.asarray(build(False, cpfit=False).llh_batch(PARAMS))
 
     if phase == "tpu":
-        np.savez(OUT, llh_corr=llh_corr, llh_true=llh_true,
+        np.savez(OUT, llh_corr=llh_corr, llh_true=llh_true, llh_ect=llh_ect,
                  backend=jax.default_backend())
         print(f"wrote {OUT} (backend={jax.default_backend()})")
         return 0
@@ -78,8 +82,11 @@ def main() -> int:
         return 1
     ref = np.load(OUT)
     lines = [f"TPU backend recorded: {ref['backend']}"]
-    for name, f32, f64 in (("corrected", ref["llh_corr"], llh_corr),
-                           ("trueEPS  ", ref["llh_true"], llh_true)):
+    rows = [("corrected", ref["llh_corr"], llh_corr),
+            ("trueEPS  ", ref["llh_true"], llh_true)]
+    if "llh_ect" in ref:
+        rows.append(("ECT-mode ", ref["llh_ect"], llh_ect))
+    for name, f32, f64 in rows:
         adiff = np.abs(f32 - f64)
         rdiff = adiff / np.maximum(np.abs(f64), 1e-12)
         lines.append(

@@ -74,3 +74,142 @@ def test_testmodel_cli_readme_oracle(tmp_path, capsys):
         [0.229988, 0.082942, 0.228294, 0.131016, 0.121698, 0.083215, 0.122846],
         atol=1e-6,
     )
+
+
+@pytest.fixture()
+def pu_fixture_paths():
+    paths = {
+        "psmc1": os.path.join(FIXDIR, "synth1.psmc"),
+        "psmc2": os.path.join(FIXDIR, "synth2.psmc"),
+        "jsfs": os.path.join(FIXDIR, "synth.jsfs"),
+        "ref_pu": os.path.join(FIXDIR, "ref_fit_pu.mi"),
+        "ref_sdate": os.path.join(FIXDIR, "ref_fit_sdate.mi"),
+        "ref_debug": os.path.join(FIXDIR, "ref_debug_stdout.txt"),
+    }
+    for p in paths.values():
+        if not os.path.exists(p):
+            pytest.skip("CLI pulse/sdate fixtures not generated "
+                        "(tests/fixtures/generate_cli_fixtures.py)")
+    return paths
+
+
+def test_misti_cli_pulse_fit(pu_fixture_paths, tmp_path, capsys):
+    """End-to-end pulse-migration fit vs the reference CLI: one OPTIMISED
+    pulse (-pu 2 4 0.2 1, fits to ~0) plus one FIXED nonzero pulse
+    (-pu 1 6 0.1 0) that moves the llh away from the no-pulse fit
+    (reference MiSTI.py:65-66, MigrationInference.py:259-280).  cpfit mode:
+    the reference's ECT no-migration solve stalls at its start point on
+    this grid's tiny intervals (gtol at the unstretched residual's ~1e-8
+    noise floor), so only cpfit's closed-form endpoints are comparable
+    (see generate_cli_fixtures.py and test_correction.py docstrings)."""
+    from misti_tpu.cli import misti as cli
+
+    out_mi = tmp_path / "fit_pu.mi"
+    rc = cli.main([
+        pu_fixture_paths["psmc1"], pu_fixture_paths["psmc2"],
+        pu_fixture_paths["jsfs"], "8", "-uf",
+        "-pu", "2", "4", "0.2", "1", "-pu", "1", "6", "0.1", "0", "--cpfit",
+        "-o", str(out_mi), "-bs", "0", "--funits", "/nonexistent",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    ours = mi_format.read_migration(str(out_mi))
+    ref = mi_format.read_migration(pu_fixture_paths["ref_pu"])
+    np.testing.assert_allclose(ours.llh, ref.llh, rtol=2e-6)
+    assert ours.split_t == ref.split_t
+    np.testing.assert_allclose(ours.jafs, ref.jafs, rtol=5e-5, atol=1e-7)
+    np.testing.assert_allclose(ours.lambda1, ref.lambda1, rtol=5e-4)
+    np.testing.assert_allclose(ours.lambda2, ref.lambda2, rtol=5e-4)
+    np.testing.assert_allclose(np.asarray(ours.pr11), np.asarray(ref.pr11),
+                               rtol=1e-3, atol=1e-6)
+
+
+def test_misti_cli_sdate_fit(pu_fixture_paths, tmp_path, capsys):
+    """End-to-end ancient-sample fit vs the reference CLI: --sdate 80
+    inserts the rescaled date into the merged grid (migrationIO.py:244-255)
+    and the migration band starts AT the sample-date index."""
+    from misti_tpu.cli import misti as cli
+
+    out_mi = tmp_path / "fit_sdate.mi"
+    rc = cli.main([
+        pu_fixture_paths["psmc1"], pu_fixture_paths["psmc2"],
+        pu_fixture_paths["jsfs"], "8", "-uf", "--sdate", "80",
+        "-mi", "1", "4", "8", "0.3", "1",
+        "-o", str(out_mi), "-bs", "0", "--funits", "/nonexistent",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    ours = mi_format.read_migration(str(out_mi))
+    ref = mi_format.read_migration(pu_fixture_paths["ref_sdate"])
+    np.testing.assert_allclose(ours.llh, ref.llh, rtol=2e-6)
+    assert ours.split_t == ref.split_t
+    assert ours.sample_date == ref.sample_date
+    np.testing.assert_allclose(ours.jafs, ref.jafs, rtol=5e-5, atol=1e-7)
+    np.testing.assert_allclose(ours.lambda1, ref.lambda1, rtol=5e-4)
+    np.testing.assert_allclose(ours.lambda2, ref.lambda2, rtol=5e-4)
+
+
+def test_misti_cli_debug_golden(pu_fixture_paths, tmp_path, capsys):
+    """--debug stdout vs the captured reference run (ECT mode, one FIXED
+    band, zero optimised parameters => exactly one deterministic
+    evaluation).  NB the reference CLI never forwards its --debug flag into
+    MigrationInference (MiSTI.py:214 passes no debug kwarg), so the class's
+    spectrum dump (MigrationInference.py:585-597) is unreachable from the
+    CLI -- the golden surfaces are the estimate line, the stdout .mi table
+    (no -o), and the Report() counter lines."""
+    from misti_tpu.cli import misti as cli
+
+    ref_lines = open(pu_fixture_paths["ref_debug"]).read().splitlines()
+
+    rc = cli.main([
+        pu_fixture_paths["psmc1"], pu_fixture_paths["psmc2"],
+        pu_fixture_paths["jsfs"], "8", "-uf",
+        "-mi", "1", "2", "8", "0.3", "0", "-bs", "0",
+        "--funits", "/nonexistent", "--debug",
+    ])
+    assert rc == 0
+    out_lines = capsys.readouterr().out.splitlines()
+
+    def grab(lines, prefix):
+        hits = [l for l in lines if l.startswith(prefix)]
+        assert hits, f"missing line {prefix!r}"
+        return hits[0]
+
+    # estimate line: structure byte-identical, llh numerically equal
+    ref_est = grab(ref_lines, "bs_id =")
+    our_est = grab(out_lines, "bs_id =")
+    assert our_est.rsplit("llh =", 1)[0] == ref_est.rsplit("llh =", 1)[0]
+    # rtol 2e-6: ECT-mode correction endpoints carry the documented
+    # LM-vs-scipy-trf solver fuzz (lc to ~2e-4, test_correction.py), which
+    # propagates to ~1e-6 relative llh -- same bar as the fit e2e test
+    np.testing.assert_allclose(float(our_est.rsplit("llh =", 1)[1]),
+                               float(ref_est.rsplit("llh =", 1)[1]),
+                               rtol=2e-6)
+
+    # Report counters byte-identical (0-param fit: exactly one evaluation
+    # ... plus the OutputMigration re-evaluation in BOTH implementations)
+    for prefix in ("Total number of likelihood function calls is",
+                   "Lambda correction called", "Lambda correction failed"):
+        assert grab(out_lines, prefix) == grab(ref_lines, prefix)
+
+    # the stdout .mi table (fout = "" prints it): parse both and compare
+    def mi_block(lines):
+        i = lines.index("#MiSTI2 ver 0.4")
+        j = [k for k, l in enumerate(lines) if l.startswith("RS\t")][-1]
+        return "\n".join(lines[i : j + 1]) + "\n"
+
+    ours_p = tmp_path / "ours.mi"
+    ref_p = tmp_path / "ref.mi"
+    ours_p.write_text(mi_block(out_lines))
+    ref_p.write_text(mi_block(ref_lines))
+    ours = mi_format.read_migration(str(ours_p))
+    ref = mi_format.read_migration(str(ref_p))
+    np.testing.assert_allclose(ours.llh, ref.llh, rtol=2e-6)
+    np.testing.assert_allclose(ours.jafs, ref.jafs, rtol=5e-5, atol=1e-7)
+    np.testing.assert_allclose(ours.times, ref.times, rtol=1e-12)
+    np.testing.assert_allclose(ours.lambda1, ref.lambda1, rtol=5e-4)
+    np.testing.assert_allclose(ours.lambda2, ref.lambda2, rtol=5e-4)
+    np.testing.assert_allclose(ours.lambdah1, ref.lambdah1, rtol=1e-12)
+    np.testing.assert_allclose(ours.lambdah2, ref.lambdah2, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(ours.pr11), np.asarray(ref.pr11),
+                               rtol=1e-4, atol=1e-8)

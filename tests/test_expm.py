@@ -131,3 +131,36 @@ def test_expm_action_pair_batched():
                                    rtol=1e-12, atol=1e-15)
         np.testing.assert_allclose(np.asarray(n1b)[i], np.asarray(n1p),
                                    rtol=1e-12, atol=1e-15)
+
+
+def test_nc_moments_match_moment_kernel():
+    """expm_nc_moments's (N1, J) must equal (N1, K - (t/2) N1) from the
+    augmented-matrix moment kernel in f64, including matrices large enough
+    to exercise several interval doublings (the stable recurrences
+    N1(2h) = 2N1 + Phi N1, J(2h) = 2J + Phi J + (h/2) Phi N1)."""
+    for scale_f, t in ((0.02, 1.0), (1.0, 1.0), (7.0, 0.9), (40.0, 1.3)):
+        m = (rng.normal(size=(3, 3)) - 2 * np.eye(3)) * scale_f
+        e, n1_ref, k_ref = ke.expm_integral_moment(jnp.asarray(m), t)
+        j_ref = np.asarray(k_ref) - 0.5 * t * np.asarray(n1_ref)
+        n1, j = ke.expm_nc_moments(jnp.asarray(m), t)
+        np.testing.assert_allclose(np.asarray(n1), np.asarray(n1_ref),
+                                   rtol=1e-10, atol=1e-13)
+        np.testing.assert_allclose(np.asarray(j), j_ref, rtol=1e-8,
+                                   atol=1e-13)
+
+
+def test_nc_moments_batched():
+    """Batched inputs with heterogeneous norms (per-element doubling counts)."""
+    ms = np.stack([
+        0.01 * (rng.normal(size=(3, 3)) - 2 * np.eye(3)),
+        6.0 * (rng.normal(size=(3, 3)) - 2 * np.eye(3)),
+    ])
+    t = np.asarray([1.0, 1.0])
+    n1, j = ke.expm_nc_moments(jnp.asarray(ms), jnp.asarray(t))
+    for i in range(2):
+        _, n1r, kr = ke.expm_integral_moment(jnp.asarray(ms[i]), 1.0)
+        np.testing.assert_allclose(np.asarray(n1[i]), np.asarray(n1r),
+                                   rtol=1e-10, atol=1e-13)
+        np.testing.assert_allclose(
+            np.asarray(j[i]), np.asarray(kr) - 0.5 * np.asarray(n1r),
+            rtol=1e-8, atol=1e-13)

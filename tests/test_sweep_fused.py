@@ -199,3 +199,88 @@ def test_fused_sweep_with_pulse_template_matches_per_split():
             b = float(lik.llh_data(np.array([rate]), jnp.asarray(data)))
             np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-6,
                                        err_msg=f"st={st} rate={rate}")
+
+
+def test_two_band_sweep_matches_per_split_and_compaction():
+    """The LIVE han_fre command shape (reference test.bs/han_fre.bs.sh:36):
+    TWO optimised migration bands (`-mi 1 4 ST r 1 -mi 2 4 ST r 1 --cpfit`,
+    n_params = 2) through the fused grid.  Pins (a) every cell against the
+    dedicated per-split likelihood at 2-parameter points, and (b) the
+    staged straggler compaction bitwise against the uninterrupted lockstep
+    sweep at n_params = 2 (the Markov-resume property must hold for
+    2-simplexes exactly as for 1-simplexes)."""
+    from misti_tpu.engine.bootstrap import sweep
+
+    times, lams = _toy()
+    splits = [4, 7]
+    mi_t = [[1, 2, "ST", 0.3, 1], [2, 2, "ST", 0.3, 1]]
+    data = np.array([3000.0, 800, 2900, 1500, 1200, 850, 1250])
+    fused = build_fused_sweep(times, lams, splits, mi_t, [],
+                              cpfit=True, smooth=True, unfolded=True)
+    assert fused.n_params == 2
+    fused_llh = jax.jit(fused.llh)
+    for i, st in enumerate(splits):
+        spec = build_spec(
+            times, lams, [0.0, *data], st,
+            [[1, 2, st, 0.3, 1], [2, 2, st, 0.3, 1]], [],
+            cpfit=True, smooth=True, unfolded=True,
+        )
+        lik = build_likelihood(spec, sequential=False)
+        for rates in ((0.3, 0.3), (0.7, 0.1), (0.05, 0.9)):
+            a = float(fused_llh(i, np.array(rates), data))
+            b = float(lik.llh_data(np.array(rates), jnp.asarray(data)))
+            np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-6,
+                                       err_msg=f"st={st} rates={rates}")
+
+    rng = np.random.default_rng(7)
+    bs = np.stack([data * rng.uniform(0.9, 1.1, size=7) for _ in range(4)])
+    kw = dict(tol=1e-4, cpfit=True, smooth=True, unfolded=True)
+    r1 = sweep(times, lams, bs, splits, mi_t, (), phase1_maxiter=10_000, **kw)
+    r2 = sweep(times, lams, bs, splits, mi_t, (), stage_caps=(3, 8, 15), **kw)
+    assert r1.params.shape == (2, 4, 2)
+    np.testing.assert_array_equal(r2.llh, r1.llh)
+    np.testing.assert_array_equal(r2.params, r1.params)
+    np.testing.assert_array_equal(r2.nfev, r1.nfev)
+
+
+def test_sweep_many_scenario_matrix_reuses_programs():
+    """The resident scenario matrix (engine/bootstrap.py `sweep_many`,
+    modelling the reference's 16-script test.bs/ suite): scenarios with
+    matching grid shapes + static flags must (a) produce results BITWISE
+    equal to independent `sweep()` runs, and (b) share ONE compiled stage
+    program -- the per-scenario numeric tables are traced arguments of the
+    fused sweep (`FusedSweep.llh_t`), not baked constants."""
+    from misti_tpu.engine.bootstrap import sweep, sweep_many
+
+    def scen(seed):
+        rng = np.random.default_rng(seed)
+        grid = 0.015 * (1.14 ** np.arange(12)) - 0.015
+        times = list(np.diff(grid))
+        tt = np.cumsum([0.0] + times)
+        lams = np.stack([1.0 + 0.3 * np.sin(tt * 11.0 + seed),
+                         1.1 + 0.25 * np.cos(tt * 7.0)], axis=1)
+        base = np.array([3000.0, 800, 2900, 1500, 1200, 850, 1250])
+        data = np.stack([base * rng.uniform(0.9, 1.1, size=7)
+                         for _ in range(2)])
+        return times, [list(v) for v in lams], data
+
+    kw = dict(cpfit=True, smooth=False, unfolded=True)
+    t1, l1, d1 = scen(1)
+    t2, l2, d2 = scen(2)
+    mi = [[1, 0, "ST", 0.25, 1]]
+    r1 = sweep(t1, l1, d1, [4, 7], mi, (), tol=1e-4, **kw)
+    r2 = sweep(t2, l2, d2, [4, 7], mi, (), tol=1e-4, **kw)
+    cache = {}
+    res = sweep_many(
+        [dict(name="a", times=t1, lambdas=l1, data=d1, splits=[4, 7],
+              mi_template=mi, **kw),
+         dict(name="b", times=t2, lambdas=l2, data=d2, splits=[4, 7],
+              mi_template=mi, **kw)],
+        tol=1e-4, prog_cache=cache,
+    )
+    np.testing.assert_array_equal(res["a"].llh, r1.llh)
+    np.testing.assert_array_equal(res["b"].llh, r2.llh)
+    np.testing.assert_array_equal(res["a"].params, r1.params)
+    np.testing.assert_array_equal(res["b"].params, r2.params)
+    np.testing.assert_array_equal(res["a"].nfev, r1.nfev)
+    assert len(cache) == 1  # one shared program for the whole matrix
