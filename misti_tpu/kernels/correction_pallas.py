@@ -630,7 +630,7 @@ def build_fused_correction(
     max_squarings: int = 8,
     mode: str = "pallas",  # "pallas" | "xla"
     interpret: bool = False,
-    lane_block: int = 128,
+    lane_block: int | None = None,
     unroll: bool | None = None,
     n_intervals: int | None = None,
 ):
@@ -656,6 +656,12 @@ def build_fused_correction(
         s = int(len(times))
         lh = np.asarray(lh, float)
         times = np.asarray(times, float)
+    if lane_block is None:
+        # 128 both modes: Mosaic requires the lane dim of a block to be
+        # 128-divisible (64-lane blocks only lower when they span the whole
+        # array), and the VPU's native tile is (8, 128) anyway.  The ECT
+        # mode's larger VMEM appetite is handled via vmem_limit_bytes below.
+        lane_block = 128
     if unroll is None:
         # Mosaic wants the 3x3 squaring steps inline (loop machinery costs
         # more than the masked matmuls); XLA:CPU cannot tractably compile the
@@ -725,6 +731,17 @@ def build_fused_correction(
                     out_ref[2 + i] = pa[i]
 
             grid = (b_pad // lane_block,)
+            # the expected-coalescence-time residual carries more live state
+            # than cpfit's (the (N1, J) moment series + their linearized
+            # tangents): measured 18.08 MB peak stack at 128 lanes on v5e,
+            # over the compiler's default 16 MB scoped-vmem limit -- raise
+            # the cap for that kernel only (v5e VMEM is far larger; the
+            # cpfit kernel stays at the default it was tuned under)
+            kwargs = {}
+            if not cpfit and not interpret:
+                kwargs["compiler_params"] = pltpu.CompilerParams(
+                    vmem_limit_bytes=32 * 1024 * 1024
+                )
             out = pl.pallas_call(
                 kernel,
                 out_shape=jax.ShapeDtypeStruct((8, s_pad, b_pad), dtype),
@@ -742,6 +759,7 @@ def build_fused_correction(
                     memory_space=pltpu.VMEM,
                 ),
                 interpret=interpret,
+                **kwargs,
             )(inp)
             lc0 = out[0, :s, :B]
             lc1 = out[1, :s, :B]

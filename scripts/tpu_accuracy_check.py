@@ -87,11 +87,21 @@ def main() -> int:
     if "llh_ect" in ref:
         rows.append(("ECT-mode ", ref["llh_ect"], llh_ect))
     for name, f32, f64 in rows:
-        adiff = np.abs(f32 - f64)
-        rdiff = adiff / np.maximum(np.abs(f64), 1e-12)
+        # -inf llh marks a failed candidate (correction failure / negative
+        # rate): the MASKS must agree between precisions; the numeric
+        # envelope is over the candidates finite in both
+        fin = np.isfinite(f32) & np.isfinite(f64)
+        if not np.array_equal(np.isfinite(f32), np.isfinite(f64)):
+            lines.append(f"{name}: FINITE MASKS DISAGREE "
+                         f"f32={np.isfinite(f32).tolist()} "
+                         f"f64={np.isfinite(f64).tolist()}")
+        adiff = np.abs(f32[fin] - f64[fin])
+        rdiff = adiff / np.maximum(np.abs(f64[fin]), 1e-12)
         lines.append(
-            f"{name}: llh f64 range [{f64.min():.3f}, {f64.max():.3f}]  "
-            f"max|dllh| = {adiff.max():.3e}  max rel = {rdiff.max():.3e}")
+            f"{name}: llh f64 range [{f64[fin].min():.3f}, {f64[fin].max():.3f}]  "
+            f"max|dllh| = {adiff.max():.3e}  max rel = {rdiff.max():.3e}  "
+            f"(finite {int(fin.sum())}/{fin.size}, masks agree: "
+            f"{np.array_equal(np.isfinite(f32), np.isfinite(f64))})")
         # the argmax candidate (what the optimiser chases) must agree
         lines.append(f"{name}: argmax f32 = {int(f32.argmax())}  "
                      f"argmax f64 = {int(f64.argmax())}")

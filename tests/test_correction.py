@@ -129,3 +129,36 @@ def test_solver_is_vmappable():
         cs = _ref_cost(np.asarray(lh[k]), float(T[k]), np.asarray(mu[k]),
                        np.asarray(p0[k]), False, lc_s)
         assert cb <= cs * (1 + 1e-6) + 1e-20 or abs(cb - cs) < 1e-12
+
+
+def test_ect_deviation_series_match_direct_formulas():
+    """The stable deviation kernels (round-5 ECT reformulation) must agree
+    with the raw f64 formulas in the region where BOTH are accurate
+    (moderate x), and be continuous across the series/direct switch at
+    x = 1.  The raw formulas lose relative accuracy below x ~ 1e-2 even in
+    f64 (that is the point of the series), so the comparison floor scales
+    like eps/x."""
+    import jax.numpy as jnp
+
+    x = np.logspace(np.log10(0.05), 1.2, 200)
+    dev = np.asarray(kc._ect_dev(jnp.asarray(x)))
+    direct = 1.0 / x - 1.0 / np.expm1(x) - 0.5
+    np.testing.assert_allclose(dev, direct, rtol=2e-8)  # series truncation ~6e-9 rel at the x = 1 switch, far below f32 eps
+    # continuity at the switch
+    lo, hi = np.asarray(kc._ect_dev(jnp.asarray([0.9999999, 1.0000001])))
+    assert abs(lo - hi) < 5e-8
+
+    # _ectnc_dev truncates at m = 10: measured 1.6e-7 rel at the x = 1
+    # switch (the m = 11 Bernoulli-style term), ~1000x below f32 eps
+    q = np.asarray(kc._ectnc_dev(jnp.asarray(x)))
+    qdir = (1.0 - np.exp(-x) * (1.0 + x)) / x - 0.5 * (-np.expm1(-x))
+    np.testing.assert_allclose(q, qdir, rtol=3e-7)
+    lo, hi = np.asarray(kc._ectnc_dev(jnp.asarray([0.9999999, 1.0000001])))
+    assert abs(lo - hi) < 5e-7
+
+    # the small-x regime follows the leading Bernoulli terms
+    xs = np.logspace(-7, -3, 20)
+    np.testing.assert_allclose(np.asarray(kc._ect_dev(jnp.asarray(xs))),
+                               -xs / 12.0, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(kc._ectnc_dev(jnp.asarray(xs))),
+                               -xs * xs / 12.0, rtol=1e-3)
