@@ -297,11 +297,17 @@ def build_likelihood(
             def post_body(nc, inp):
                 lh_t, T_t = inp
                 if spec.cpfit:
-                    pnc = (
-                        jnp.exp(-T_t * lh_t[0])
-                        + jnp.exp(nc[1] - nc[0] - T_t * lh_t[1])
-                    ) / (1.0 + jnp.exp(nc[1] - nc[0]))
-                    lam = -jnp.log(pnc) / jnp.where(T_t == 0, 1.0, T_t)
+                    # deviation form of MigrationInference.py:366: pnc ~ 1
+                    # as lam*T -> 0, so form pnc - 1 from expm1 masses and
+                    # take -log1p -- exact, f32-stable (nc here carries the
+                    # reference's probability-valued carry, so the weight
+                    # e^(nc1-nc0) is O(1))
+                    ed = jnp.exp(nc[1] - nc[0])
+                    dpnc = -(
+                        -jnp.expm1(-T_t * lh_t[0])
+                        + ed * -jnp.expm1(-T_t * lh_t[1])
+                    ) / (1.0 + ed)
+                    lam = -jnp.log1p(dpnc) / jnp.where(T_t == 0, 1.0, T_t)
                 else:
                     # only the weight RATIO matters (fit_single_pop
                     # normalises): shift by max(nc) so the f32 path cannot

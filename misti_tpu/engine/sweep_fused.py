@@ -304,11 +304,14 @@ def build_fused_sweep(
         if cpfit:
             def post_body(nc_c, inp):
                 lh_t, T_t, Ts = inp
-                pnc = (
-                    jnp.exp(-T_t * lh_t[0])
-                    + jnp.exp(nc_c[1] - nc_c[0] - T_t * lh_t[1])
-                ) / (1.0 + jnp.exp(nc_c[1] - nc_c[0]))
-                lam = jnp.where(T_t == 0, 1.0, -jnp.log(pnc) / Ts)
+                # deviation form: pnc - 1 from expm1 masses, -log1p
+                # (see engine/likelihood.py post_body)
+                ed = jnp.exp(nc_c[1] - nc_c[0])
+                dpnc = -(
+                    -jnp.expm1(-T_t * lh_t[0])
+                    + ed * -jnp.expm1(-T_t * lh_t[1])
+                ) / (1.0 + ed)
+                lam = jnp.where(T_t == 0, 1.0, -jnp.log1p(dpnc) / Ts)
                 lc_t = jnp.stack([lam, lam])
                 return nc_c - T_t * lc_t, lc_t
 

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..model.statespace import correction_matrix
-from .expm import expm, expm_nc_moments
+from .expm import expm, expm_m1, expm_nc_moments
 
 _PREC = 1e-10  # reference `prec`: no-migration threshold & solver tolerance
 _NORM_EPS = 0.02  # reference `normEps`: near-identical-state merge threshold
@@ -83,15 +83,21 @@ def _ectnc_dev(x):
     with its T/2 baseline removed per unit coalescence probability.
 
     ECTnc(lam, T)/T = (1 - e^-x (1 + x))/x (reference :79-80, x = lam*T).
-    Series sum_{m>=2} (-1)^(m+1) (m-1)/(2 (m+1)!) x^m; truncation < 2e-8
-    at the x = 1 switch point.
+    Series sum_{m>=2} (-1)^(m+1) (m-1)/(2 (m+1)!) x^m through m = 12;
+    truncation < 1e-10 relative at the x = 1 switch point.
     """
     ser = x * x * (
         -1.0 / 12.0
-        + x * (1.0 / 24.0 + x * (-1.0 / 80.0 + x * (1.0 / 360.0 + x * (
-            -1.0 / 2016.0 + x * (1.0 / 13440.0 + x * (-1.0 / 103680.0
-            + x * (1.0 / 907200.0 + x * (-1.0 / 8870400.0))))))))
-    )
+        + x * (1.0 / 24.0
+        + x * (-1.0 / 80.0
+        + x * (1.0 / 360.0
+        + x * (-1.0 / 2016.0
+        + x * (1.0 / 13440.0
+        + x * (-1.0 / 103680.0
+        + x * (1.0 / 907200.0
+        + x * (-1.0 / 8870400.0
+        + x * (1.0 / 95800320.0
+        + x * (-11.0 / 12454041600.0)))))))))))
     xs = jnp.where(x < 1.0, 1.0, x)
     direct = (1.0 - jnp.exp(-xs) * (1.0 + xs)) / xs - 0.5 * _em1m(xs)
     return jnp.where(x < 1.0, ser, direct)
@@ -207,12 +213,17 @@ def _residual_coal_time(l, mu, lh, p_norm):
 def _residual_cp(l, mu, lh, p_raw):
     """LambdaSystem1 (CorrectLambda.py:169-173): match per-genome
     no-coalescence probabilities.  ``p_raw``: (2,3) unnormalised.
+
+    Stable deviation form (round 5, exact): both no-coalescence masses
+    approach the total mass s as rates -> 0, so the raw difference
+    1'E p - e^-x s cancels in f32.  Subtract s analytically:
+    1'E p - s = 1'(E - I)p (cancellation-free via `expm_m1`) and
+    e^-x s - s = -s em1m(x), giving  r = 1'(E-I)p + s em1m(x).
     """
     m = correction_matrix(l[0], l[1], mu[0], mu[1])
-    e = expm(m, max_squarings=14, unroll=True)
-    nc = (p_raw @ e.T).sum(-1)
-    nch = jnp.exp(-lh) * p_raw.sum(-1)
-    return nc - nch
+    phi = expm_m1(m, max_squarings=14, unroll=True)
+    s = p_raw.sum(-1)
+    return (p_raw @ phi.T).sum(-1) + s * _em1m(lh)
 
 
 def _residual_nomig(l, lh, pr0):
@@ -233,22 +244,32 @@ def _nomig_closed_form(lh, T, p0):
     """SolveNoMigration1 (CorrectLambda.py:213-235): cpfit closed form.
 
     Returns (lc (2,), p_out (2,3)); lc == -1 marks failure (log of <= 0).
+
+    Stable deviation form (round 5, exact): the reference solves the 2x2
+    for y_i = exp(-lc_i T) ~ 1 and takes -log(y)/T, which loses the
+    O(lam*T) signal in f32.  With x_i = exp(-lh_i T) - c_i rewritten as
+    a_i + b_i - em1m(lh_i T) (rows are normalised), the solution satisfies
+
+        y1 - 1 = (a2 em1 - a4 em0) / det,   y2 - 1 = (a3 em0 - a1 em1) / det,
+
+    so lc = -log1p(y - 1)/T at full working precision; the propagation
+    decay exp(-lc T) IS y (no round-trip through log/exp).
     """
     s0 = p0[0].sum()
     s1 = p0[1].sum()
-    a1, a2, c1 = p0[0, 0] / s0, p0[0, 1] / s0, p0[0, 2] / s0
-    a3, a4, c2 = p0[1, 0] / s1, p0[1, 1] / s1, p0[1, 2] / s1
+    a1, a2 = p0[0, 0] / s0, p0[0, 1] / s0
+    a3, a4 = p0[1, 0] / s1, p0[1, 1] / s1
     det = a1 * a4 - a2 * a3
-    x1 = jnp.exp(-lh[0] * T) - c1
-    x2 = jnp.exp(-lh[1] * T) - c2
-    y1 = (a4 * x1 - a2 * x2) / det
-    y2 = (-a3 * x1 + a1 * x2) / det
-    good = (y1 > 0) & (y2 > 0)
-    lc0 = jnp.where(good, -jnp.log(jnp.where(good, y1, 1.0)) / T, -1.0)
-    lc1 = jnp.where(good, -jnp.log(jnp.where(good, y2, 1.0)) / T, -1.0)
+    em0 = _em1m(lh[0] * T)
+    em1 = _em1m(lh[1] * T)
+    dy1 = (a2 * em1 - a4 * em0) / det
+    dy2 = (a3 * em0 - a1 * em1) / det
+    good = (dy1 > -1.0) & (dy2 > -1.0)
+    lc0 = jnp.where(good, -jnp.log1p(jnp.where(good, dy1, 0.0)) / T, -1.0)
+    lc1 = jnp.where(good, -jnp.log1p(jnp.where(good, dy2, 0.0)) / T, -1.0)
     lc = jnp.stack([lc0, lc1])
-    decay = jnp.stack([jnp.exp(-lc0 * T), jnp.exp(-lc1 * T), jnp.ones_like(lc0)])
-    p_out = p0 * decay[None, :]
+    decay = jnp.stack([1.0 + dy1, 1.0 + dy2, jnp.ones_like(lc0)])
+    p_out = p0 * jnp.where(good, decay, 1.0)[None, :]
     return lc, p_out
 
 

@@ -154,6 +154,28 @@ def _expm3(a, max_squarings=14, unroll=True):
     return jax.lax.fori_loop(0, max_squarings, body, e, unroll=False)
 
 
+def _expm3_m1(a, max_squarings=14, unroll=True):
+    """Phi = e^a - I, cancellation-free (kernels/expm.py `expm_m1`): the
+    series has no identity term and doubling is Phi(2h) = Phi^2 + 2 Phi.
+    Used by the cpfit residual's deviation form (`res_general`)."""
+    b, s, _ = _scaling(a, max_squarings)
+    phi = _ps_horner(_ps_powers(b), _CPHI)
+
+    def step(live, phi):
+        sq = tuple(pp + 2.0 * ph for pp, ph in zip(_m3_mul(phi, phi), phi))
+        return _m3_select(live, sq, phi)
+
+    if unroll:
+        for i in range(max_squarings):
+            phi = step(float(i) < s, phi)
+        return phi
+
+    def body(i, phi):
+        return step(i.astype(s.dtype) < s, phi)
+
+    return jax.lax.fori_loop(0, max_squarings, body, phi, unroll=False)
+
+
 def _expm3_nc_moments(a, max_squarings=14, unroll=True):
     """(N1, J) of the stretched (t=1) generator: N1 = int_0^1 e^{as} ds and
     the CENTERED first moment J = int_0^1 (s - 1/2) e^{as} ds.
@@ -244,6 +266,18 @@ def _em1m(x):
     return jnp.where(small, ser, 1.0 - jnp.exp(-x))
 
 
+def _log1p(x):
+    """log(1 + x) at working precision without a Mosaic log1p lowering:
+    the classic w = 1 + x compensation -- x * log(w)/(w - 1) recovers the
+    digits the rounding of w discarded (exact when w rounds to 1)."""
+    w = 1.0 + x
+    d = w - 1.0
+    exact = d == 0.0
+    safe_w = jnp.where(exact, 2.0, w)
+    safe_d = jnp.where(exact, 1.0, d)
+    return jnp.where(exact, x, x * jnp.log(safe_w) / safe_d)
+
+
 def _ect_dev(x):
     """ECT(lam, T)/T - 1/2 at x = lam*T (kernels/correction.py `_ect_dev`:
     the f32-stable deviation form of CorrectLambda.py:67-77, Bernoulli
@@ -265,10 +299,16 @@ def _ectnc_dev(x):
     no-migration numerator term with its T/2 baseline removed."""
     ser = x * x * (
         -1.0 / 12.0
-        + x * (1.0 / 24.0 + x * (-1.0 / 80.0 + x * (1.0 / 360.0 + x * (
-            -1.0 / 2016.0 + x * (1.0 / 13440.0 + x * (-1.0 / 103680.0
-            + x * (1.0 / 907200.0 + x * (-1.0 / 8870400.0))))))))
-    )
+        + x * (1.0 / 24.0
+        + x * (-1.0 / 80.0
+        + x * (1.0 / 360.0
+        + x * (-1.0 / 2016.0
+        + x * (1.0 / 13440.0
+        + x * (-1.0 / 103680.0
+        + x * (1.0 / 907200.0
+        + x * (-1.0 / 8870400.0
+        + x * (1.0 / 95800320.0
+        + x * (-11.0 / 12454041600.0)))))))))))
     xs = jnp.where(x < 1.0, 1.0, x)
     direct = (1.0 - jnp.exp(-xs) * (1.0 + xs)) / xs - 0.5 * _em1m(xs)
     return jnp.where(x < 1.0, ser, direct)
@@ -465,11 +505,15 @@ def _sweep_body(
 
         def res_general(a0, a1):
             if cpfit:
-                e = _expm3(_corr_mat(a0, a1, mu0s, mu1s),
-                           max_squarings=max_squarings, unroll=unroll)
-                cs = [e[0 + j] + e[3 + j] + e[6 + j] for j in range(3)]
-                r0 = cs[0] * p00 + cs[1] * p01 + cs[2] * p02 - jnp.exp(-lh_s0) * s0
-                r1 = cs[0] * p10 + cs[1] * p11 + cs[2] * p12 - jnp.exp(-lh_s1) * s1
+                # stable deviation form (kernels/correction.py
+                # `_residual_cp`): both no-coal masses approach the total
+                # mass s as rates -> 0; subtract it analytically via
+                # Phi = E - I column sums and s*em1m(x)
+                phi = _expm3_m1(_corr_mat(a0, a1, mu0s, mu1s),
+                                max_squarings=max_squarings, unroll=unroll)
+                cs = [phi[0 + j] + phi[3 + j] + phi[6 + j] for j in range(3)]
+                r0 = cs[0] * p00 + cs[1] * p01 + cs[2] * p02 + s0 * _em1m(lh_s0)
+                r1 = cs[0] * p10 + cs[1] * p11 + cs[2] * p12 + s1 * _em1m(lh_s1)
                 return r0, r1
             # f32-stable deviation form (kernels/correction.py
             # `_residual_coal_time`): 1 - pnc == a0 (N1 p)_0 + a1 (N1 p)_1
@@ -506,18 +550,23 @@ def _sweep_body(
             return ct0 - _ect_dev(lh_raw_s0), ct1 - _ect_dev(lh_raw_s1)
 
         if cpfit:
-            # no-migration closed form (CorrectLambda.py:213-235), unstretched
-            a1c, a2c, c1c = pn00, pn01, pn02
-            a3c, a4c, c2c = pn10, pn11, pn12
+            # no-migration closed form (CorrectLambda.py:213-235),
+            # unstretched, in the stable deviation form of
+            # kernels/correction.py `_nomig_closed_form`:
+            # y_i - 1 expressed through em1m(lh_i T) and -log1p
+            a1c, a2c = pn00, pn01
+            a3c, a4c = pn10, pn11
             det = a1c * a4c - a2c * a3c
             det = jnp.where(det == 0, 1.0, det)
-            xx1 = jnp.exp(-lh0 * T) - c1c
-            xx2 = jnp.exp(-lh1 * T) - c2c
-            y1 = (a4c * xx1 - a2c * xx2) / det
-            y2 = (-a3c * xx1 + a1c * xx2) / det
-            good = (y1 > 0) & (y2 > 0)
-            lc_nm0 = jnp.where(good, -jnp.log(jnp.where(good, y1, 1.0)) / T, -1.0)
-            lc_nm1 = jnp.where(good, -jnp.log(jnp.where(good, y2, 1.0)) / T, -1.0)
+            em0 = _em1m(lh0 * T)
+            em1v = _em1m(lh1 * T)
+            dy1 = (a2c * em1v - a4c * em0) / det
+            dy2 = (a3c * em0 - a1c * em1v) / det
+            good = (dy1 > -1.0) & (dy2 > -1.0)
+            lc_nm0 = jnp.where(
+                good, -_log1p(jnp.where(good, dy1, 0.0)) / T, -1.0)
+            lc_nm1 = jnp.where(
+                good, -_log1p(jnp.where(good, dy2, 0.0)) / T, -1.0)
             if static_no_mig:
                 lc0, lc1 = lc_nm0, lc_nm1
             else:

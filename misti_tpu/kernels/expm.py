@@ -112,6 +112,52 @@ def _taylor18(a: jax.Array) -> jax.Array:
     return b0 + a6 @ (b1 + a6 @ b2)
 
 
+def expm_m1(a: jax.Array, max_squarings: int = _MAX_SQUARINGS,
+            unroll: bool = False) -> jax.Array:
+    """Phi = e^A - I WITHOUT cancellation: the Taylor series has no
+    identity term (Phi(h) = sum_{k>=1} (Ah)^k / k!) and interval doubling
+    uses Phi(2h) = Phi^2 + 2 Phi.  For small ||A|| the naive e^A - I loses
+    the leading digits of exactly the O(||A||) signal the cpfit correction
+    residual needs (see kernels/correction.py `_residual_cp`)."""
+    import math
+
+    a = jnp.asarray(a)
+    norm = jnp.linalg.norm(a, ord=1, axis=(-2, -1))
+    s = jnp.maximum(0, jnp.ceil(jnp.log2(norm / _THETA_TAYLOR))).astype(jnp.int32)
+    s = jnp.where(jnp.isfinite(norm) & (norm > 0), s, 0)
+    s = jnp.minimum(s, max_squarings)
+    scale = jnp.exp2(-s.astype(a.dtype))
+    b = a * scale[..., None, None]
+
+    n = a.shape[-1]
+    ident = jnp.broadcast_to(jnp.eye(n, dtype=a.dtype), a.shape)
+    p = [ident, b]
+    for _ in range(5):
+        p.append(p[-1] @ b)
+    c = [0.0] + [1.0 / math.factorial(k) for k in range(1, 19)]
+
+    def blk(k0):
+        out = c[k0] * p[0]
+        for j in range(1, 6):
+            if k0 + j < len(c):
+                out = out + c[k0 + j] * p[j]
+        return out
+
+    b6 = p[6]
+    phi = blk(0) + b6 @ (blk(6) + b6 @ (blk(12) + c[18] * b6))
+
+    def body(i, phi):
+        sq = phi @ phi + 2.0 * phi
+        do = i < s
+        return jnp.where(do[..., None, None], sq, phi)
+
+    if unroll:
+        for i in range(max_squarings):
+            phi = body(i, phi)
+        return phi
+    return jax.lax.fori_loop(0, max_squarings, body, phi)
+
+
 def _taylor18_pair(b: jax.Array):
     """(e, phi1) of a scaled matrix: e = sum b^k/k!, phi1 = sum b^k/(k+1)!.
 

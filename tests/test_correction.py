@@ -148,13 +148,12 @@ def test_ect_deviation_series_match_direct_formulas():
     lo, hi = np.asarray(kc._ect_dev(jnp.asarray([0.9999999, 1.0000001])))
     assert abs(lo - hi) < 5e-8
 
-    # _ectnc_dev truncates at m = 10: measured 1.6e-7 rel at the x = 1
-    # switch (the m = 11 Bernoulli-style term), ~1000x below f32 eps
+    # _ectnc_dev truncates at m = 12: < 1e-9 rel at the x = 1 switch
     q = np.asarray(kc._ectnc_dev(jnp.asarray(x)))
     qdir = (1.0 - np.exp(-x) * (1.0 + x)) / x - 0.5 * (-np.expm1(-x))
-    np.testing.assert_allclose(q, qdir, rtol=3e-7)
+    np.testing.assert_allclose(q, qdir, rtol=2e-9)
     lo, hi = np.asarray(kc._ectnc_dev(jnp.asarray([0.9999999, 1.0000001])))
-    assert abs(lo - hi) < 5e-7
+    assert abs(lo - hi) < 5e-8
 
     # the small-x regime follows the leading Bernoulli terms
     xs = np.logspace(-7, -3, 20)

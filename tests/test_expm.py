@@ -164,3 +164,20 @@ def test_nc_moments_batched():
         np.testing.assert_allclose(
             np.asarray(j[i]), np.asarray(kr) - 0.5 * np.asarray(n1r),
             rtol=1e-8, atol=1e-13)
+
+
+def test_expm_m1_matches_expm_minus_identity():
+    """expm_m1 (stable E - I with Phi^2 + 2Phi doubling) == expm - I in
+    f64, including matrices needing several doublings; and for TINY norms
+    its entries carry full RELATIVE precision where the naive difference
+    has none."""
+    for scale_f in (1e-6, 0.3, 4.0, 60.0):
+        m = (rng.normal(size=(3, 3)) - 2 * np.eye(3)) * scale_f
+        phi = np.asarray(ke.expm_m1(jnp.asarray(m), unroll=True))
+        ref = scipy.linalg.expm(m) - np.eye(3)
+        np.testing.assert_allclose(phi, ref, rtol=1e-10, atol=1e-300 if scale_f < 1e-3 else 1e-13)
+    # relative accuracy at tiny norm: Phi ~ m + m^2/2, naive subtraction
+    # would leave ~1e-16/1e-12 = 1e-4 relative garbage
+    m = (rng.normal(size=(3, 3)) - 2 * np.eye(3)) * 1e-12
+    phi = np.asarray(ke.expm_m1(jnp.asarray(m), unroll=True))
+    np.testing.assert_allclose(phi, m + (m @ m) / 2, rtol=1e-10)
