@@ -476,7 +476,12 @@ def build_likelihood(
             )
         pos = jnp.all(cats > 0) & jnp.isfinite(norm) & (norm > 0)
         safe = jnp.where(cats > 0, cats, 1.0)
-        llh = llh_const + jnp.sum(dat * jnp.log(safe))
+        # log_accurate: XLA:TPU's coarse f32 log (~3e-5 rel) multiplied by
+        # sum(d) ~ 2e4 was the ENTIRE on-chip llh error floor (round 5,
+        # kernels/precise.py); f64 traces defer to jnp.log bitwise
+        from ..kernels.precise import log_accurate
+
+        llh = llh_const + jnp.sum(dat * log_accurate(safe))
         valid = nonneg & valid_corr & pos
         llh = jnp.where(valid, llh, -jnp.inf)
         # Report() counter semantics (MigrationInference.py:306,336,347,567):

@@ -404,7 +404,10 @@ def build_fused_sweep(
                 jax.scipy.special.gammaln(dat + 1)
             )
         pos = jnp.all(cats > 0) & jnp.isfinite(norm) & (norm > 0)
-        llh = const + jnp.sum(dat * jnp.log(jnp.where(cats > 0, cats, 1.0)))
+        # accurate f32 log: see engine/likelihood.py (kernels/precise.py)
+        from ..kernels.precise import log_accurate
+
+        llh = const + jnp.sum(dat * log_accurate(jnp.where(cats > 0, cats, 1.0)))
         return jnp.where(nonneg & valid & pos, llh, -jnp.inf)
 
     def llh_baked(st_idx, params, data7):

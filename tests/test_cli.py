@@ -213,3 +213,47 @@ def test_misti_cli_debug_golden(pu_fixture_paths, tmp_path, capsys):
     np.testing.assert_allclose(ours.lambdah2, ref.lambdah2, rtol=1e-12)
     np.testing.assert_allclose(np.asarray(ours.pr11), np.asarray(ref.pr11),
                                rtol=1e-4, atol=1e-8)
+
+
+def test_sweep_cli_scenario_matrix(tmp_path, capsys):
+    """--scenarios manifest mode: two same-shape scenarios resident in one
+    process (the 16-script test.bs matrix surface, MATRIXBENCH_r05.json).
+    Checks per-scenario tagged cell lines, per-scenario JSON summaries,
+    per-scenario .npz tables, and the matrix summary's shared-program
+    count."""
+    import json as _json
+
+    from misti_tpu.cli import sweep as cli
+
+    manifest = [
+        {"name": "fwd", "fpsmc1": os.path.join(FIXDIR, "synth1.psmc"),
+         "fpsmc2": os.path.join(FIXDIR, "synth2.psmc"),
+         "fjafs": os.path.join(FIXDIR, "synth.jsfs"),
+         "splits": [7, 8], "mi": [["1", "2", "ST", "0.3", "1"]]},
+        {"name": "rev", "fpsmc1": os.path.join(FIXDIR, "synth2.psmc"),
+         "fpsmc2": os.path.join(FIXDIR, "synth1.psmc"),
+         "fjafs": os.path.join(FIXDIR, "synth.jsfs"),
+         "splits": [7, 8], "mi": [["1", "2", "ST", "0.3", "1"]]},
+    ]
+    mpath = tmp_path / "m.json"
+    mpath.write_text(_json.dumps(manifest))
+    out = tmp_path / "r.npz"
+    rc = cli.main(["--scenarios", str(mpath), "-bs", "1", "-uf", "--cpfit",
+                   "--nosmooth", "--funits", "/nonexistent",
+                   "--platform", "cpu", "-o", str(out)])
+    assert rc == 0
+    text = capsys.readouterr().out
+    lines = text.splitlines()
+    for name in ("fwd", "rev"):
+        cells = [l for l in lines if l.startswith(f"scenario = {name} ")]
+        assert len(cells) == 2 * 2, cells  # 2 splits x (1 + 1 replicates)
+        assert os.path.exists(tmp_path / f"r.{name}.npz")
+        summ = [l for l in lines
+                if l.startswith("{") and f'"scenario": "{name}"' in l]
+        assert len(summ) == 1
+    matrix = _json.loads([l for l in lines
+                          if '"matrix_scenarios"' in l][0])
+    assert matrix["matrix_scenarios"] == 2
+    assert matrix["matrix_cells"] == 8
+    # same grid shapes + flags => ONE shared compiled program
+    assert matrix["shared_programs"] == 1

@@ -181,3 +181,27 @@ def test_expm_m1_matches_expm_minus_identity():
     m = (rng.normal(size=(3, 3)) - 2 * np.eye(3)) * 1e-12
     phi = np.asarray(ke.expm_m1(jnp.asarray(m), unroll=True))
     np.testing.assert_allclose(phi, m + (m @ m) / 2, rtol=1e-10)
+
+
+def test_log_accurate_f32_near_correctly_rounded():
+    """kernels/precise.py log_accurate: within ~4 ulp of the f64-exact log
+    over the likelihood's input range, vs XLA:TPU's native f32 log which
+    errs by hundreds of ulps (the round-5 llh-floor finding).  f64 inputs
+    must defer to jnp.log bitwise."""
+    from misti_tpu.kernels.precise import log_accurate
+
+    x64 = np.concatenate([
+        np.logspace(-6, 6, 4001),
+        np.linspace(0.03, 0.3, 1000),  # the jafs range
+    ])
+    x = x64.astype(np.float32)
+    got = np.asarray(jax.jit(log_accurate)(jnp.asarray(x)))
+    ref = np.log(x.astype(np.float64))
+    err_ulp = np.abs(got.astype(np.float64) - ref) / np.spacing(
+        np.abs(ref).astype(np.float32)
+    )
+    assert err_ulp.max() < 4.0, err_ulp.max()
+    # f64 passthrough is bitwise jnp.log
+    v = jnp.asarray(x64)
+    np.testing.assert_array_equal(np.asarray(log_accurate(v)),
+                                  np.asarray(jnp.log(v)))

@@ -208,3 +208,36 @@ def test_f32_ect_mode_accuracy(case, mode):
         jax.config.update("jax_enable_x64", True)
     assert np.isfinite(llh)
     np.testing.assert_allclose(llh, case["llh"], rtol=2e-4)
+
+
+@pytest.mark.parametrize(
+    "case",
+    [c for c in CASES
+     if not c["trueEPS"] and c["cpfit"] and np.isfinite(c["llh"])],
+    ids=lambda c: c["name"],
+)
+@pytest.mark.parametrize("mode", ["scan-seq", "fused-xla"])
+def test_f32_cpfit_mode_accuracy(case, mode):
+    """cpfit in float32 after the round-5 deviation-form residuals
+    (kernels/correction.py `_residual_cp` / `_nomig_closed_form`): the
+    no-coalescence masses are compared as deviations from the shared total
+    mass, so f32 holds ~1e-5 relative llh (measured 7.8e-7 on the bench
+    workload vs 1.2e-4 with the raw formulation; ACCURACY.md round 5)."""
+    import jax
+
+    spec = build_spec(
+        list(case["times"]), [list(v) for v in case["lambdas"]],
+        list(case["sfs8"]), case["splitT"],
+        [list(v) for v in case["mi"]], [list(v) for v in case["pu"]],
+        correct=True, cpfit=True, smooth=case["smooth"],
+        unfolded=case["unfolded"], sample_date=case["sampleDate"],
+        mixture_th=case["mixture_th"],
+    )
+    jax.config.update("jax_enable_x64", False)
+    try:
+        lik = build_likelihood(spec, correction_mode=mode)
+        llh = float(lik.llh(np.zeros(0, np.float32)))
+    finally:
+        jax.config.update("jax_enable_x64", True)
+    assert np.isfinite(llh)
+    np.testing.assert_allclose(llh, case["llh"], rtol=2e-5)
