@@ -16,7 +16,7 @@ lambda correction (any corrected rate <= 0 pre-split) yield -inf
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+
 from typing import Callable
 
 import jax

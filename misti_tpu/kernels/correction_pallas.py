@@ -35,7 +35,6 @@ arithmetic, so the fixed point matches the sequential reference sweep
 
 from __future__ import annotations
 
-import functools
 import math
 
 import jax
