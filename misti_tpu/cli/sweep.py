@@ -99,6 +99,12 @@ def main(argv=None) -> int:
 
         with open(clargs.scenarios) as f:
             manifest = json.load(f)
+        names = [ent["name"] for ent in manifest]
+        if len(set(names)) != len(names):
+            dupes = sorted({n for n in names if names.count(n) > 1})
+            print(f"error: duplicate scenario names in manifest: {dupes} "
+                  "(results are keyed by name)", file=sys.stderr)
+            return 2
         mdir = os.path.dirname(os.path.abspath(clargs.scenarios))
         rel = lambda p: p if os.path.isabs(p) else os.path.join(mdir, p)
         descs = []
@@ -219,9 +225,10 @@ def main(argv=None) -> int:
         if clargs.fout:
             fout = clargs.fout
             if sc["name"]:
-                base, dot, ext = fout.rpartition(".")
-                fout = (f"{base}.{sc['name']}.{ext}" if dot
-                        else f"{fout}.{sc['name']}")
+                import os
+
+                base, ext = os.path.splitext(fout)
+                fout = f"{base}.{sc['name']}{ext}"
             extra = {} if res.nfev is None else {"nfev": res.nfev}
             np.savez(
                 fout, split_times=res.split_times, params=res.params,

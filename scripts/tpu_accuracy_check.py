@@ -95,6 +95,9 @@ def main() -> int:
             lines.append(f"{name}: FINITE MASKS DISAGREE "
                          f"f32={np.isfinite(f32).tolist()} "
                          f"f64={np.isfinite(f64).tolist()}")
+        if not fin.any():
+            lines.append(f"{name}: NO candidate finite in both precisions")
+            continue
         adiff = np.abs(f32[fin] - f64[fin])
         rdiff = adiff / np.maximum(np.abs(f64[fin]), 1e-12)
         lines.append(

@@ -257,3 +257,21 @@ def test_sweep_cli_scenario_matrix(tmp_path, capsys):
     assert matrix["matrix_cells"] == 8
     # same grid shapes + flags => ONE shared compiled program
     assert matrix["shared_programs"] == 1
+
+
+def test_sweep_cli_scenario_matrix_rejects_duplicate_names(tmp_path, capsys):
+    """Results are keyed by scenario name: a manifest with duplicates would
+    silently discard all but the last fit, so the CLI must refuse it."""
+    import json as _json
+
+    from misti_tpu.cli import sweep as cli
+
+    ent = {"name": "dup", "fpsmc1": os.path.join(FIXDIR, "synth1.psmc"),
+           "fpsmc2": os.path.join(FIXDIR, "synth2.psmc"),
+           "fjafs": os.path.join(FIXDIR, "synth.jsfs"),
+           "splits": [7, 8], "mi": [["1", "2", "ST", "0.3", "1"]]}
+    mpath = tmp_path / "m.json"
+    mpath.write_text(_json.dumps([ent, dict(ent)]))
+    rc = cli.main(["--scenarios", str(mpath), "-bs", "1", "-uf", "--cpfit",
+                   "--funits", "/nonexistent", "--platform", "cpu"])
+    assert rc == 2
