@@ -662,19 +662,24 @@ def build_fused_correction(
     mixture_th: float = 0.0,
     static_no_mig: bool = False,
     has_pulse: bool = True,
-    # Jacobi/LM budgets: tuned round 4 (scripts/tpu_budget_probe.py) --
-    # 3/14/4 matches the sequential f64 oracle to 1.2e-10 (cpfit) / 7.6e-7
-    # (expected-coalescence-time mode, identical -inf masks) on the bench
-    # workload while cutting kernel time ~13% vs round 3's 4/20/6: the
-    # trust-region LM converges well under 14 steps from the PSMC warm
+    # Jacobi/LM budgets, PER MODE (None = resolved below):
+    # * cpfit 3/14/4 -- tuned round 4 (scripts/tpu_budget_probe.py):
+    #   matches the sequential f64 oracle to 1.2e-10 on the bench workload;
+    # * expected-coalescence-time 2/8/2 -- tuned round 5 on the same
+    #   workload against the f64 oracle: every budget from 3/14/4 down to
+    #   2/8/2 sits at the identical 7.27e-6 max-rel floor with identical
+    #   -inf masks (the deviation-form residual converges the LM fast),
+    #   while 3/6/2 degrades to 1.4e-5; 2/8/2 is +21.5% evals/s (158.7k ->
+    #   192.9k).  The CPU fused-xla oracle tests pin these same defaults
+    #   against the reference on every fixture scenario.
+    # The trust-region LM converges well under budget from the PSMC warm
     # start and masked `done` lanes make extra iterations pure waste.
     # max_squarings=8 (chain norm <= 256; typical stretched norms < 8) is
     # +2% more; over-budget lanes NaN-poison to llh=-inf via the _scaling
-    # guard rather than silently clamping.  The CPU fused-xla oracle tests
-    # pin these same defaults against the reference.
-    rounds: int = 3,
-    iters0: int = 14,
-    iters_warm: int = 4,
+    # guard rather than silently clamping.
+    rounds: int | None = None,
+    iters0: int | None = None,
+    iters_warm: int | None = None,
     max_squarings: int = 8,
     mode: str = "pallas",  # "pallas" | "xla"
     interpret: bool = False,
@@ -704,6 +709,12 @@ def build_fused_correction(
         s = int(len(times))
         lh = np.asarray(lh, float)
         times = np.asarray(times, float)
+    if rounds is None:
+        rounds = 3 if cpfit else 2
+    if iters0 is None:
+        iters0 = 14 if cpfit else 8
+    if iters_warm is None:
+        iters_warm = 4 if cpfit else 2
     if lane_block is None:
         # 128 both modes: Mosaic requires the lane dim of a block to be
         # 128-divisible (64-lane blocks only lower when they span the whole
