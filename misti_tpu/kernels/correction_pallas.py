@@ -662,24 +662,24 @@ def build_fused_correction(
     mixture_th: float = 0.0,
     static_no_mig: bool = False,
     has_pulse: bool = True,
-    # Jacobi/LM budgets, PER MODE (None = resolved below):
-    # * cpfit 3/14/4 -- tuned round 4 (scripts/tpu_budget_probe.py):
-    #   matches the sequential f64 oracle to 1.2e-10 on the bench workload;
-    # * expected-coalescence-time 2/8/2 -- tuned round 5 on the same
-    #   workload against the f64 oracle: every budget from 3/14/4 down to
-    #   2/8/2 sits at the identical 7.27e-6 max-rel floor with identical
-    #   -inf masks (the deviation-form residual converges the LM fast),
-    #   while 3/6/2 degrades to 1.4e-5; 2/8/2 is +21.5% evals/s (158.7k ->
-    #   192.9k).  The CPU fused-xla oracle tests pin these same defaults
-    #   against the reference on every fixture scenario.
-    # The trust-region LM converges well under budget from the PSMC warm
-    # start and masked `done` lanes make extra iterations pure waste.
-    # max_squarings=8 (chain norm <= 256; typical stretched norms < 8) is
-    # +2% more; over-budget lanes NaN-poison to llh=-inf via the _scaling
-    # guard rather than silently clamping.
-    rounds: int | None = None,
-    iters0: int | None = None,
-    iters_warm: int | None = None,
+    # Jacobi/LM budgets: 2/8/2 for BOTH residual modes, tuned round 5
+    # against the f64 oracle on the bench grid (4096 candidates).  The
+    # round-4 3/14/4 was tuned on the RAW residuals; the round-5
+    # deviation-form residuals converge the trust-region LM in ~half the
+    # iterations, and every budget from 3/14/4 down to 2/8/2 sits at the
+    # identical accuracy floor with identical -inf masks (cpfit 1.30e-5 --
+    # the spectrum/log floor; ECT 7.27e-6), while 3/6/2 (ECT, 1.4e-5) and
+    # 1/10/0 (cpfit, 1.43e-5) start to degrade.  Even 2/5/2 held the cpfit
+    # floor; 2/8/2 keeps margin for scenarios harder than the probe grid.
+    # Measured: cpfit 259.9k -> 291.2k evals/s, ECT 158.7k -> 196.1k.
+    # The CPU fused-xla oracle tests pin these same defaults against the
+    # reference on every fixture scenario (pulse/sdate/smooth/mth/mig0).
+    # max_squarings=8 (chain norm <= 256; typical stretched norms < 8):
+    # over-budget lanes NaN-poison to llh=-inf via the _scaling guard
+    # rather than silently clamping.
+    rounds: int = 2,
+    iters0: int = 8,
+    iters_warm: int = 2,
     max_squarings: int = 8,
     mode: str = "pallas",  # "pallas" | "xla"
     interpret: bool = False,
@@ -709,12 +709,6 @@ def build_fused_correction(
         s = int(len(times))
         lh = np.asarray(lh, float)
         times = np.asarray(times, float)
-    if rounds is None:
-        rounds = 3 if cpfit else 2
-    if iters0 is None:
-        iters0 = 14 if cpfit else 8
-    if iters_warm is None:
-        iters_warm = 4 if cpfit else 2
     if lane_block is None:
         # 128 both modes: Mosaic requires the lane dim of a block to be
         # 128-divisible (64-lane blocks only lower when they span the whole
