@@ -253,9 +253,17 @@ def solve(lik, tol: float = 1e-4, global_opt: bool = False, seed: int = 0,
     single-fit CLI invocation (~15 of 18 s measured).  Per-eval trace
     printing uses a host callback that cannot cross the export boundary,
     so the two options are exclusive.
+
+    Trace printing is CPU-backend-only: ``jax.debug.print`` needs host
+    send/recv callbacks, which the axon TPU plugin does not implement
+    (UNIMPLEMENTED at runtime), and a per-eval device->host print would
+    serialize an accelerator fit regardless.  ``MISTI_PLATFORM=tpu``
+    single fits therefore run quiet and print only the solver summary.
     """
     spec = lik.spec
     init = spec.init_params
+    if trace and jax.default_backend() != "cpu":
+        trace = False
     if spec.n_params == 0:
         llh, flags = jax.jit(lik.llh_flags)(np.zeros(0))
         return SolveResult(np.zeros(0), float(llh), nfev=1,

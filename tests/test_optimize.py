@@ -157,3 +157,23 @@ def test_report_counters():
     sol_t = solve(build_likelihood(spec_t), tol=1e-4)
     assert 0 < sol_t.corr_called <= sol_t.nfev
     assert sol_t.corr_failed == 0
+
+
+def test_solve_trace_gated_off_accelerator(monkeypatch, capsys):
+    """trace=True must be ignored on non-CPU backends: jax.debug.print
+    needs host send/recv callbacks, which the axon TPU plugin does not
+    implement (UNIMPLEMENTED at runtime) -- an accelerator single fit
+    runs quiet and prints only the scipy-style solver summary."""
+    fx = load_fixture("solve.npz")
+    spec = build_spec(
+        list(fx["times"]), [list(v) for v in fx["lams"]], list(fx["sfs"]),
+        float(fx["splitT"]), [list(v) for v in fx["mi"]], [],
+        unfolded=True, smooth=False,
+    )
+    lik = build_likelihood(spec)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    sol = solve(lik, tol=1e-4, trace=True)
+    out = capsys.readouterr().out.strip().splitlines()
+    # only the 4 scipy disp-style summary lines -- no per-eval trace lines
+    assert len(out) == 4 and out[0].startswith("Optimization terminated")
+    np.testing.assert_allclose(sol.llh, float(fx["llh"]), rtol=1e-7, atol=2e-4)
