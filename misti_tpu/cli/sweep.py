@@ -163,10 +163,16 @@ def main(argv=None) -> int:
     per_scn_dt = []
     results = {}
     prog_cache = {}
-    for sc in scenarios:  # resident loop: same-shape scenarios share programs
+    from ..dist.mesh import make_mesh
+
+    mesh = make_mesh()
+    # one-scenario sweep_many calls (shared mesh + prog_cache keep the
+    # matrix resident and same-shape scenarios on one compiled program)
+    # rather than one batch call, to time each scenario for the summary
+    for sc in scenarios:
         t_sc = time.time()
         results.update(sweep_many([sc], tol=clargs.tol,
-                                  maxiter=clargs.maxiter,
+                                  maxiter=clargs.maxiter, mesh=mesh,
                                   prog_cache=prog_cache, **stage_kw))
         per_scn_dt.append(time.time() - t_sc)
     if ctx is not None:

@@ -383,15 +383,27 @@ def fit_single_pop(lh, T, weights):
     dtype = jnp.result_type(T, 0.0)
     lh = jnp.asarray(lh, dtype)
     w = weights / weights.sum()
+
     # deviation form: ECT(lam, T) = T*(1/2 + _ect_dev(lam*T)), so the T/2
     # baselines and the common factor T cancel analytically -- same root,
-    # same sign pattern, f32-stable (see _ect_dev)
-    te_dev = w[0] * _ect_dev(lh[0] * T) + w[1] * _ect_dev(lh[1] * T)
+    # same sign pattern, f32-stable (see _ect_dev).  The reference's tail
+    # guard here is on the RAW rate (``lam > 100`` at CorrectLambda.py:68,
+    # called with the UNSTRETCHED interval from MigrationInference.py:361),
+    # not on lam*T: a rate above 100 drops the 1/expm1 tail even when
+    # lam*T is small, giving ECT = 1/lam exactly.  Reproduce that for f64
+    # endpoint parity (_ect_dev's own x > 100 branch agrees wherever the
+    # exp would overflow, so the two guards differ only when lam > 100 on
+    # a short interval).
+    def dev(lam):
+        x = lam * T
+        return jnp.where(lam > 100.0, 1.0 / x - 0.5, _ect_dev(x))
+
+    te_dev = w[0] * dev(lh[0]) + w[1] * dev(lh[1])
     x0 = w[0] * lh[0] + w[1] * lh[1]
     lower = 0.01 * jnp.minimum(lh[0], lh[1])
 
     def g(lam):
-        return _ect_dev(lam * T) - te_dev  # decreasing in lam
+        return dev(lam) - te_dev  # decreasing in lam (within each branch)
 
     # expand upper bracket from x0 until g(hi) < 0
     def expand(carry, _):

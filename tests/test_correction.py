@@ -100,6 +100,51 @@ def test_fit_single_pop_matches_reference():
         )
 
 
+def test_fit_single_pop_raw_rate_tail_guard():
+    """The reference's ExpectedCoalTimeOnePop tail guard is on the RAW
+    rate (``lam > 100``, CorrectLambda.py:68) and FitSinglePop calls it
+    with the UNSTRETCHED interval (MigrationInference.py:361-362): a rate
+    above 100 on a short interval drops the 1/expm1 tail even though
+    lam*T is small, giving ECT = 1/lam exactly.  fit_single_pop must
+    reproduce that, not guard on lam*T (regression: round-5 deviation
+    form).  Oracle evaluated inline from the reference's formulas; our
+    bisection drives the residual to 0 where scipy's least_squares stops
+    at its gtol, so compare residuals, not endpoints."""
+    from scipy import optimize as sopt
+
+    rng = np.random.default_rng(3)
+    for _ in range(20):
+        lh = rng.uniform(60.0, 300.0, 2)  # straddle the lam = 100 guard
+        T = rng.uniform(0.002, 0.1)       # short interval: lam*T << 100
+        w = rng.uniform(0.1, 1.0, 2)
+        wn = w / w.sum()
+
+        def ref_ect(lam):
+            r = 0.0 if lam > 100.0 else T / (np.exp(lam * T) - 1.0)
+            return 1.0 / lam - r
+
+        te = wn[0] * ref_ect(lh[0]) + wn[1] * ref_ect(lh[1])
+        ours = float(kc.fit_single_pop(jnp.asarray(lh), float(T),
+                                       jnp.asarray(w)))
+        # the guard makes the residual jump UP at lam = 100, so it can
+        # have a genuine root on EACH side; scipy's basin choice across
+        # the discontinuity is a solver artifact (cf. the ECT no-mig
+        # stall, CLAUDE.md).  The parity requirement: ours is an exact
+        # root of the REFERENCE residual, coinciding with one of its
+        # true roots (the pre-fix lam*T guard produced values that were
+        # not roots of the reference residual at all).
+        f = lambda lam: ref_ect(lam) - te
+        lo = 0.01 * lh.min()
+        roots = []
+        for a, b in ((lo, 100.0 - 1e-9), (100.0 + 1e-9, 1e5)):
+            if f(a) * f(b) < 0:
+                roots.append(sopt.brentq(f, a, b, xtol=1e-13, rtol=1e-14))
+        assert roots, "oracle bracketing failed"
+        assert min(abs(ours - r) / r for r in roots) < 5e-9, (lh, T, w,
+                                                             ours, roots)
+        assert abs(f(ours)) < 1e-11
+
+
 def test_solver_is_vmappable():
     """vmapped batch solve must agree with per-case solves."""
     fx = load_fixture("correction.npz")

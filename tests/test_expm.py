@@ -205,3 +205,21 @@ def test_log_accurate_f32_near_correctly_rounded():
     v = jnp.asarray(x64)
     np.testing.assert_array_equal(np.asarray(log_accurate(v)),
                                   np.asarray(jnp.log(v)))
+
+
+def test_log_accurate_subnormals_and_edges():
+    """Subnormal inputs renormalise from the significand bits (a
+    multiply-based rescale flushes to zero under the backends' DAZ/FTZ and
+    returned a constant ~4-too-high log); 0/negative/inf/NaN match the
+    backend's jnp.log exactly.  Regression: a sub-1.2e-38 category slipping
+    through the likelihood's `cats > 0` guard must not inflate the llh."""
+    from misti_tpu.kernels.precise import log_accurate
+
+    f = jax.jit(log_accurate)
+    sub = np.float32([1.4e-45, 9.8e-45, 1e-40, 1e-38])
+    got = np.asarray(f(jnp.asarray(sub)))
+    want = np.log(sub.astype(np.float64))
+    assert np.abs((got - want) / want).max() < 1e-6
+    edges = jnp.float32([0.0, -1.0, np.inf, np.nan, -1e-40])
+    np.testing.assert_array_equal(np.asarray(f(edges)),
+                                  np.asarray(jax.jit(jnp.log)(edges)))
